@@ -1,0 +1,23 @@
+"""vqacl_tpu — a TPU-native (JAX/XLA/Pallas) continual-learning VQA framework.
+
+A from-scratch rebuild of the capabilities of zhangxi1997/VQACL (CVPR 2023):
+the VQACL dual-level continual-learning benchmark protocol, the VL-T5
+encoder-decoder model with sample-specific/sample-invariant prototypes,
+experience replay, composition-split evaluation, and the upstream
+region-feature extraction pipeline — all redesigned TPU-first:
+
+- compute path: pure-functional JAX compiled with jit/pjit onto the MXU,
+  bf16 matmuls with f32 accumulation, static shapes throughout;
+- parallelism: `jax.sharding.Mesh` + NamedSharding (data parallel by
+  default, optional tensor-parallel param sharding), XLA collectives over
+  ICI instead of NCCL/DDP;
+- stateful mechanisms of the reference (prototype banks mutated inside
+  ``forward``) become explicit state threaded through one compiled step;
+- host orchestration (task schedule, replay buffer, string metrics) stays
+  thin Python around the compiled steps.
+
+Reference behavior citations in docstrings point into /root/reference
+(e.g. ``VL-T5/src/modeling_t5_our.py:514``) for parity checking.
+"""
+
+__version__ = "0.1.0"

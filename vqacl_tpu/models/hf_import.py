@@ -1,0 +1,139 @@
+"""Weight conversion: HF ``t5-base`` / reference VL-T5 checkpoints → pytree.
+
+The reference builds its model with HF ``from_pretrained('t5-base')``
+(/root/reference/VL-T5/src/trainer_base.py:92-102) and saves torch
+``state_dict`` .pth files (``trainer_base.py:246-249`` with the
+``vis_encoder.``→``encoder.`` key remap at :251-269). This module maps
+either naming onto the vqacl_tpu parameter pytree so
+
+- the T5 numerics can be cross-checked against HF (same weights → same
+  logits) and
+- users can carry reference-trained checkpoints over.
+
+Pure numpy — no torch needed at run time (a torch ``state_dict`` can be
+fed after ``{k: v.numpy() for ...}``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def _t(x):
+    return np.ascontiguousarray(np.asarray(x, dtype=np.float32).T)
+
+
+def _a(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def _stack_params(sd: Mapping[str, np.ndarray], prefix: str, n_layers: int,
+                  is_decoder: bool) -> Params:
+    out: Params = {}
+    for i in range(n_layers):
+        b = f"{prefix}.block.{i}.layer"
+        blk: Params = {
+            "attn": {
+                "wq": _t(sd[f"{b}.0.SelfAttention.q.weight"]),
+                "wk": _t(sd[f"{b}.0.SelfAttention.k.weight"]),
+                "wv": _t(sd[f"{b}.0.SelfAttention.v.weight"]),
+                "wo": _t(sd[f"{b}.0.SelfAttention.o.weight"]),
+            },
+            "ln1": _a(sd[f"{b}.0.layer_norm.weight"]),
+        }
+        if is_decoder:
+            blk["cross_attn"] = {
+                "wq": _t(sd[f"{b}.1.EncDecAttention.q.weight"]),
+                "wk": _t(sd[f"{b}.1.EncDecAttention.k.weight"]),
+                "wv": _t(sd[f"{b}.1.EncDecAttention.v.weight"]),
+                "wo": _t(sd[f"{b}.1.EncDecAttention.o.weight"]),
+            }
+            blk["ln2"] = _a(sd[f"{b}.1.layer_norm.weight"])
+            ff = 2
+        else:
+            ff = 1
+        blk["mlp"] = {
+            "wi": _t(sd[f"{b}.{ff}.DenseReluDense.wi.weight"]),
+            "wo": _t(sd[f"{b}.{ff}.DenseReluDense.wo.weight"]),
+        }
+        blk[f"ln{ff + 1}"] = _a(sd[f"{b}.{ff}.layer_norm.weight"])
+        out[f"block_{i}"] = blk
+    out["final_ln"] = _a(sd[f"{prefix}.final_layer_norm.weight"])
+    out["rel_bias"] = _a(
+        sd[f"{prefix}.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])
+    return out
+
+
+def _maybe_visual_embedding(sd: Mapping[str, np.ndarray], cfg) -> Params | None:
+    """VL-T5 checkpoint visual-embedding params (modeling_t5_our.py:27-76);
+    absent in a vanilla t5-base checkpoint."""
+    candidates = ["encoder.visual_embedding", "vis_encoder.visual_embedding"]
+    for pre in candidates:
+        if f"{pre}.feat_embedding.0.weight" in sd:
+            p: Params = {
+                "feat_w": _t(sd[f"{pre}.feat_embedding.0.weight"]),
+                "feat_b": _a(sd[f"{pre}.feat_embedding.0.bias"]),
+                "pos_w": _t(sd[f"{pre}.absolute_vis_pos_embedding.0.weight"]),
+                "pos_b": _a(sd[f"{pre}.absolute_vis_pos_embedding.0.bias"]),
+            }
+            if f"{pre}.feat_embedding.1.weight" in sd:
+                p["feat_ln"] = _a(sd[f"{pre}.feat_embedding.1.weight"])
+                p["pos_ln"] = _a(sd[f"{pre}.absolute_vis_pos_embedding.1.weight"])
+            if f"{pre}.img_order_embedding.weight" in sd:
+                p["img_order"] = _a(sd[f"{pre}.img_order_embedding.weight"])
+            return p
+    return None
+
+
+def _resize_vocab(emb: np.ndarray, vocab_size: int, seed: int = 0) -> np.ndarray:
+    """Extend/truncate the shared embedding to the VL-T5 vocab (32100 sp
+    ids + 100 <vis_extra_id_*> rows at the top, tokenization.py:126).
+    New rows get the T5 shared init N(0,1)."""
+    v0, d = emb.shape
+    if v0 == vocab_size:
+        return emb
+    if v0 > vocab_size:
+        return emb[:vocab_size]
+    extra = np.random.default_rng(seed).standard_normal(
+        (vocab_size - v0, d)).astype(np.float32)
+    return np.concatenate([emb, extra], axis=0)
+
+
+def from_state_dict(sd: Mapping[str, Any], cfg,
+                    strict_visual: bool = False) -> Params:
+    """Convert an HF T5 / reference VL-T5 ``state_dict`` (numpy values)
+    to the vqacl_tpu parameter pytree.
+
+    Handles the reference's saved-checkpoint prefixes: strips a leading
+    ``module.`` (DDP, utils.py:63-71) and remaps ``vis_encoder.`` →
+    ``encoder.`` (trainer_base.py:251-269).
+    """
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    sd = {("encoder." + k[len("vis_encoder."):] if k.startswith("vis_encoder.")
+           else k): v for k, v in sd.items()}
+
+    params: Params = {
+        "shared": _resize_vocab(_a(sd["shared.weight"]), cfg.vocab_size),
+        "encoder": _stack_params(sd, "encoder", cfg.num_layers, False),
+        "decoder": _stack_params(sd, "decoder", cfg.num_decoder_layers, True),
+    }
+    vis = _maybe_visual_embedding(sd, cfg)
+    if vis is not None:
+        params["visual_embedding"] = vis
+    elif strict_visual:
+        raise KeyError("checkpoint has no visual_embedding weights")
+    return params
+
+
+def load_t5_base(cfg, name_or_path: str = "t5-base") -> Params:
+    """Load HF t5-base weights (cached hub or local dir) → pytree."""
+    import transformers  # local import: torch only needed here
+
+    model = transformers.T5ForConditionalGeneration.from_pretrained(name_or_path)
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    return from_state_dict(sd, cfg)

@@ -1,0 +1,364 @@
+"""Pure-functional T5 encoder-decoder for TPU.
+
+A from-scratch JAX implementation of the T5 architecture used by VL-T5
+(HF ``transformers`` T5Stack/T5Block consumed at
+``/root/reference/VL-T5/src/modeling_t5_our.py:145-341``), designed for
+XLA/TPU rather than translated from torch:
+
+- parameters are a plain nested dict (pytree) → trivially sharded with
+  NamedSharding and checkpointed with orbax;
+- all shapes static; attention is two einsums onto the MXU with
+  ``preferred_element_type=float32`` accumulation; softmax in f32;
+- dropout is explicit (rng in, deterministic flag), no module state;
+- the encoder takes *precomputed input embeddings and position bias* so
+  the VL joint encoder (text‖visual concat, text-only relative bias,
+  ``modeling_t5_our.py:214,258-273``) is a thin wrapper, not a fork.
+
+T5 specifics honored: RMS layer norm without mean subtraction or bias,
+un-scaled dot-product attention (scale folded into init), relative
+position bias added in every layer but computed from the first layer's
+table, ReLU feed-forward (t5-base v1.0), tied embeddings with the
+``d_model**-0.5`` output rescale (``modeling_t5_our.py:663-666``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+NEG_INF = -1e9  # additive mask value; applied in f32 before softmax
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _normal(rng, shape, std):
+    return std * jax.random.normal(rng, shape, dtype=jnp.float32)
+
+
+def init_attention(rng, d_model: int, num_heads: int, d_kv: int) -> Params:
+    """T5 attention init (factor 1.0): q ~ N(0,(d_model*d_kv)^-0.5),
+    k,v ~ N(0,d_model^-0.5), o ~ N(0,(heads*d_kv)^-0.5)."""
+    inner = num_heads * d_kv
+    kq, kk, kv, ko = jax.random.split(rng, 4)
+    return {
+        "wq": _normal(kq, (d_model, inner), (d_model * d_kv) ** -0.5),
+        "wk": _normal(kk, (d_model, inner), d_model ** -0.5),
+        "wv": _normal(kv, (d_model, inner), d_model ** -0.5),
+        "wo": _normal(ko, (inner, d_model), inner ** -0.5),
+    }
+
+
+def init_mlp(rng, d_model: int, d_ff: int) -> Params:
+    ki, ko = jax.random.split(rng)
+    return {
+        "wi": _normal(ki, (d_model, d_ff), d_model ** -0.5),
+        "wo": _normal(ko, (d_ff, d_model), d_ff ** -0.5),
+    }
+
+
+def init_block(rng, cfg, is_decoder: bool) -> Params:
+    keys = jax.random.split(rng, 3)
+    p: Params = {
+        "attn": init_attention(keys[0], cfg.d_model, cfg.num_heads, cfg.d_kv),
+        "ln1": jnp.ones((cfg.d_model,), jnp.float32),
+        "mlp": init_mlp(keys[1], cfg.d_model, cfg.d_ff),
+        "ln2": jnp.ones((cfg.d_model,), jnp.float32),
+    }
+    if is_decoder:
+        p["cross_attn"] = init_attention(keys[2], cfg.d_model, cfg.num_heads, cfg.d_kv)
+        p["ln3"] = jnp.ones((cfg.d_model,), jnp.float32)
+    return p
+
+
+def init_stack(rng, cfg, is_decoder: bool) -> Params:
+    n = cfg.num_decoder_layers if is_decoder else cfg.num_layers
+    keys = jax.random.split(rng, n + 1)
+    p: Params = {f"block_{i}": init_block(keys[i], cfg, is_decoder) for i in range(n)}
+    p["final_ln"] = jnp.ones((cfg.d_model,), jnp.float32)
+    p["rel_bias"] = _normal(keys[n],
+                            (cfg.relative_attention_num_buckets, cfg.num_heads),
+                            cfg.d_model ** -0.5)
+    return p
+
+
+def init_t5_params(rng, cfg) -> Params:
+    ke, kd, ks = jax.random.split(rng, 3)
+    return {
+        "shared": _normal(ks, (cfg.vocab_size, cfg.d_model), 1.0),
+        "encoder": init_stack(ke, cfg, is_decoder=False),
+        "decoder": init_stack(kd, cfg, is_decoder=True),
+    }
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def layer_norm(w: jnp.ndarray, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """T5 RMS norm: no mean subtraction, no bias; variance in f32."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32)).astype(dt)
+
+
+def dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def relative_position_bucket(relative_position: jnp.ndarray,
+                             bidirectional: bool,
+                             num_buckets: int,
+                             max_distance: int) -> jnp.ndarray:
+    """Bucketed relative positions, matching HF T5 semantics."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+def compute_position_bias(rel_bias_table: jnp.ndarray,
+                          q_len: int, k_len: int,
+                          bidirectional: bool,
+                          num_buckets: int, max_distance: int,
+                          q_offset: int = 0) -> jnp.ndarray:
+    """[1, heads, q_len, k_len] relative attention bias.
+
+    ``q_offset`` supports incremental decoding (query at absolute
+    position ``q_offset..q_offset+q_len``).
+    """
+    ctx = jnp.arange(q_len)[:, None] + q_offset
+    mem = jnp.arange(k_len)[None, :]
+    rp = mem - ctx  # [q, k]
+    buckets = relative_position_bucket(rp, bidirectional, num_buckets, max_distance)
+    values = jnp.asarray(rel_bias_table)[buckets]  # [q, k, heads]
+    return jnp.transpose(values, (2, 0, 1))[None]  # [1, h, q, k]
+
+
+def attention_scores_bias(mask: Optional[jnp.ndarray],
+                          position_bias: Optional[jnp.ndarray],
+                          dtype=jnp.float32) -> Optional[jnp.ndarray]:
+    """Combine padding/causal mask (1=attend) with position bias into a
+    single additive f32 term (HF adds extended mask into bias,
+    ``modeling_t5_our.py:273``)."""
+    bias = None
+    if position_bias is not None:
+        bias = position_bias.astype(dtype)
+    if mask is not None:
+        add = (1.0 - mask.astype(dtype)) * NEG_INF
+        bias = add if bias is None else bias + add
+    return bias
+
+
+def multihead_attention(p: Params,
+                        q_in: jnp.ndarray,
+                        k_in: jnp.ndarray,
+                        v_in: jnp.ndarray,
+                        bias: Optional[jnp.ndarray],
+                        num_heads: int,
+                        d_kv: int,
+                        dropout_rate: float = 0.0,
+                        deterministic: bool = True,
+                        rng=None,
+                        kv_proj: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                        ) -> jnp.ndarray:
+    """Unscaled T5 attention. q_in [B,Lq,D]; k_in/v_in [B,Lk,D].
+
+    ``kv_proj`` lets the caller pass already-projected K/V (cross-attention
+    cache during generation).
+    """
+    B, Lq, D = q_in.shape
+    dt = q_in.dtype
+    q = (q_in @ p["wq"].astype(dt)).reshape(B, Lq, num_heads, d_kv)
+    if kv_proj is None:
+        Lk = k_in.shape[1]
+        k = (k_in @ p["wk"].astype(dt)).reshape(B, Lk, num_heads, d_kv)
+        v = (v_in @ p["wv"].astype(dt)).reshape(B, Lk, num_heads, d_kv)
+    else:
+        k, v = kv_proj
+        Lk = k.shape[1]
+    # scores in f32 on the MXU
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias
+    w = jax.nn.softmax(scores, axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        w = dropout(rng, w, dropout_rate, deterministic=False)
+    w = w.astype(dt)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v,
+                     preferred_element_type=jnp.float32).astype(dt)
+    return out.reshape(B, Lq, num_heads * d_kv) @ p["wo"].astype(dt)
+
+
+def mlp_apply(p: Params, x: jnp.ndarray, activation: str,
+              dropout_rate: float = 0.0, deterministic: bool = True,
+              rng=None) -> jnp.ndarray:
+    dt = x.dtype
+    h = x @ p["wi"].astype(dt)
+    if activation == "relu":
+        h = jax.nn.relu(h)
+    elif activation in ("gelu", "gated-gelu"):
+        h = jax.nn.gelu(h, approximate=False)
+    else:
+        raise ValueError(activation)
+    if not deterministic and dropout_rate > 0.0:
+        h = dropout(rng, h, dropout_rate, deterministic=False)
+    return h @ p["wo"].astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# blocks & stacks
+# ---------------------------------------------------------------------------
+
+def _split_rngs(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+def encoder_block(p: Params, cfg, x: jnp.ndarray, bias: Optional[jnp.ndarray],
+                  deterministic: bool = True, rng=None) -> jnp.ndarray:
+    r = _split_rngs(rng, 4)
+    h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
+    a = multihead_attention(p["attn"], h, h, h, bias, cfg.num_heads, cfg.d_kv,
+                            cfg.dropout_rate, deterministic, r[0])
+    x = x + dropout(r[1], a, cfg.dropout_rate, deterministic)
+    h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
+    m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,
+                  deterministic, r[2])
+    return x + dropout(r[3], m, cfg.dropout_rate, deterministic)
+
+
+def encoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
+                  position_bias: jnp.ndarray,
+                  deterministic: bool = True, rng=None,
+                  remat: bool = False) -> jnp.ndarray:
+    """Encoder over precomputed embeddings with a caller-supplied combined
+    additive bias [B_or_1, heads, L, L] (position bias + mask)."""
+    r = _split_rngs(rng, cfg.num_layers + 2)
+    x = dropout(r[0], inputs_embeds, cfg.dropout_rate, deterministic)
+    block_fn = encoder_block
+    if remat:
+        block_fn = jax.checkpoint(
+            encoder_block, static_argnums=(1,), policy=None)
+    for i in range(cfg.num_layers):
+        x = block_fn(p[f"block_{i}"], cfg, x, position_bias,
+                     deterministic, r[i + 1])
+    x = layer_norm(p["final_ln"], x, cfg.layer_norm_epsilon)
+    return dropout(r[-1], x, cfg.dropout_rate, deterministic)
+
+
+def decoder_block(p: Params, cfg, x: jnp.ndarray,
+                  self_bias: Optional[jnp.ndarray],
+                  enc_states: jnp.ndarray,
+                  cross_bias: Optional[jnp.ndarray],
+                  deterministic: bool = True, rng=None,
+                  self_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                  cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                  ) -> jnp.ndarray:
+    r = _split_rngs(rng, 6)
+    h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
+    a = multihead_attention(p["attn"], h, h, h, self_bias,
+                            cfg.num_heads, cfg.d_kv, cfg.dropout_rate,
+                            deterministic, r[0], kv_proj=self_kv)
+    x = x + dropout(r[1], a, cfg.dropout_rate, deterministic)
+    h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
+    c = multihead_attention(p["cross_attn"], h, enc_states, enc_states,
+                            cross_bias, cfg.num_heads, cfg.d_kv,
+                            cfg.dropout_rate, deterministic, r[2],
+                            kv_proj=cross_kv)
+    x = x + dropout(r[3], c, cfg.dropout_rate, deterministic)
+    h = layer_norm(p["ln3"], x, cfg.layer_norm_epsilon)
+    m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,
+                  deterministic, r[4])
+    return x + dropout(r[5], m, cfg.dropout_rate, deterministic)
+
+
+def causal_mask(L: int) -> jnp.ndarray:
+    """[1,1,L,L] lower-triangular attend mask."""
+    return jnp.tril(jnp.ones((L, L), jnp.float32))[None, None]
+
+
+def decoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
+                  enc_states: jnp.ndarray,
+                  enc_mask: Optional[jnp.ndarray],
+                  dec_mask: Optional[jnp.ndarray] = None,
+                  deterministic: bool = True, rng=None,
+                  remat: bool = False) -> jnp.ndarray:
+    """Teacher-forced decoder. inputs_embeds [B,T,D]; enc_mask [B,S]."""
+    B, T, D = inputs_embeds.shape
+    pb = compute_position_bias(p["rel_bias"], T, T, bidirectional=False,
+                               num_buckets=cfg.relative_attention_num_buckets,
+                               max_distance=cfg.relative_attention_max_distance)
+    cm = causal_mask(T)
+    if dec_mask is not None:
+        cm = cm * dec_mask[:, None, None, :]
+    self_bias = attention_scores_bias(cm, pb)
+    cross_mask = None if enc_mask is None else enc_mask[:, None, None, :]
+    cross_bias = attention_scores_bias(cross_mask, None)
+
+    r = _split_rngs(rng, cfg.num_decoder_layers + 2)
+    x = dropout(r[0], inputs_embeds, cfg.dropout_rate, deterministic)
+    block_fn = decoder_block
+    if remat:
+        block_fn = jax.checkpoint(decoder_block, static_argnums=(1,))
+    for i in range(cfg.num_decoder_layers):
+        x = block_fn(p[f"block_{i}"], cfg, x, self_bias, enc_states,
+                     cross_bias, deterministic, r[i + 1])
+    x = layer_norm(p["final_ln"], x, cfg.layer_norm_epsilon)
+    return dropout(r[-1], x, cfg.dropout_rate, deterministic)
+
+
+# ---------------------------------------------------------------------------
+# embedding / head
+# ---------------------------------------------------------------------------
+
+def embed_tokens(shared: jnp.ndarray, ids: jnp.ndarray, dtype) -> jnp.ndarray:
+    return jnp.asarray(shared).astype(dtype)[ids]
+
+
+def lm_logits(shared: jnp.ndarray, hidden: jnp.ndarray, d_model: int,
+              tie_word_embeddings: bool = True) -> jnp.ndarray:
+    """Tied-embedding LM head with the mesh-tf rescale
+    (``modeling_t5_our.py:663-671``). Returns f32 logits."""
+    h = hidden
+    if tie_word_embeddings:
+        h = h * (d_model ** -0.5)
+    return jnp.einsum("btd,vd->btv", h, shared.astype(h.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def shift_right(labels: jnp.ndarray, decoder_start_token_id: int,
+                pad_token_id: int) -> jnp.ndarray:
+    """HF ``_shift_right`` (used at ``modeling_t5_our.py:620``): prepend
+    start token, drop last, replace -100 with pad."""
+    shifted = jnp.concatenate(
+        [jnp.full_like(labels[:, :1], decoder_start_token_id), labels[:, :-1]],
+        axis=1)
+    return jnp.where(shifted == -100, pad_token_id, shifted)

@@ -1,0 +1,244 @@
+"""VL-T5: joint text+vision T5 encoder-decoder with prototype augmentation.
+
+TPU-first rebuild of ``VLT5`` (/root/reference/VL-T5/src/modeling_t5_our.py:342-773):
+one pure function per phase —
+
+  ``encode``       text‖visual joint encoding, text-only relative position
+                   bias (``JointEncoder.forward``, :175-339)
+  ``augment``      prototype EMA update + tanh-cosine retrieval + concat of
+                   the two retrieved (detached) vectors (:583-615)
+  ``decode_train`` teacher-forced decoder + tied LM head (:618-686)
+  ``forward_train``the full train-time forward returning per-token CE and
+                   new prototype state
+
+The whole train-time path is jit-able as a single XLA program: prototype
+state is input/output, no Python control flow depends on data.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqacl_tpu.models import t5
+from vqacl_tpu.models.prototype import (
+    ProtoState, batch_class_means, cosine_retrieve, memory_loss, proto_update,
+)
+from vqacl_tpu.models.visual_embedding import (
+    apply_visual_embedding, init_visual_embedding,
+)
+
+Params = Dict[str, Any]
+
+
+def init_vlt5_params(rng, cfg) -> Params:
+    kt, kv = jax.random.split(rng)
+    params = t5.init_t5_params(kt, cfg)
+    params["visual_embedding"] = init_visual_embedding(kv, cfg)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def joint_position_bias(params: Params, cfg, L: int, V_L: int,
+                        enc_mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, L+V_L, L+V_L] additive bias: T5 relative bias on the
+    text-text block only, zeros elsewhere (modeling_t5_our.py:258-273),
+    plus the padding mask."""
+    S = L + V_L
+    text_bias = t5.compute_position_bias(
+        params["encoder"]["rel_bias"], L, L, bidirectional=True,
+        num_buckets=cfg.relative_attention_num_buckets,
+        max_distance=cfg.relative_attention_max_distance)      # [1,H,L,L]
+    bias = jnp.zeros((1, cfg.num_heads, S, S), jnp.float32)
+    bias = bias.at[:, :, :L, :L].set(text_bias)
+    mask4 = enc_mask[:, None, None, :]                          # [B,1,1,S]
+    return t5.attention_scores_bias(mask4, bias)
+
+
+def encode(params: Params, cfg,
+           input_ids: jnp.ndarray,            # [B, L] int32
+           vis_feats: jnp.ndarray,            # [B, N, feat_dim]
+           boxes: jnp.ndarray,                # [B, N, 4]
+           attention_mask: Optional[jnp.ndarray] = None,   # [B, L]
+           vis_attention_mask: Optional[jnp.ndarray] = None,
+           deterministic: bool = True, rng=None,
+           dtype=jnp.float32, remat: bool = False,
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Joint encoder → (hidden [B, L+N, D], enc_mask [B, L+N])."""
+    B, L = input_ids.shape
+    N = vis_feats.shape[1]
+    if attention_mask is None:
+        attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.float32)
+    if vis_attention_mask is None:
+        vis_attention_mask = jnp.ones((B, N), jnp.float32)
+    enc_mask = jnp.concatenate([attention_mask, vis_attention_mask], axis=1)
+
+    text_emb = t5.embed_tokens(params["shared"], input_ids, dtype)
+    vis_emb = apply_visual_embedding(
+        params["visual_embedding"], cfg, params["shared"], vis_feats, boxes,
+        dtype=dtype)
+    inputs = jnp.concatenate([text_emb, vis_emb], axis=1)       # [B, S, D]
+
+    bias = joint_position_bias(params, cfg, L, N, enc_mask)
+    hidden = t5.encoder_stack(params["encoder"], cfg, inputs, bias,
+                              deterministic=deterministic, rng=rng,
+                              remat=remat)
+    return hidden, enc_mask
+
+
+# ---------------------------------------------------------------------------
+# prototype augmentation
+# ---------------------------------------------------------------------------
+
+class ProtoAux(NamedTuple):
+    loss_memory_q: jnp.ndarray
+    loss_memory_v: jnp.ndarray
+    retrieval_acc_q: jnp.ndarray
+    retrieval_acc_v: jnp.ndarray
+
+
+def augment(params: Params, cfg, hidden: jnp.ndarray, enc_mask: jnp.ndarray,
+            proto_state: ProtoState,
+            ques_labels: Optional[jnp.ndarray] = None,   # [B, 10] one-hot
+            cate_labels: Optional[jnp.ndarray] = None,   # [B, 80] one-hot
+            proto_update_flag: bool = False,
+            use_memory_loss: bool = False,
+            proto_alpha: float = 0.5, proto_beta: float = 0.5,
+            ) -> Tuple[jnp.ndarray, jnp.ndarray, ProtoState, ProtoAux]:
+    """Prototype update + retrieval + concat (modeling_t5_our.py:583-615).
+
+    Pooling matches the reference exactly: plain mean over the first L
+    positions (text, pads included) and the rest (visual) respectively.
+    Returns (hidden_aug [B, S+2, D], enc_mask_aug [B, S+2], new_state, aux).
+    """
+    L = cfg.max_text_length
+    pooled_q = jnp.mean(hidden[:, :L, :].astype(jnp.float32), axis=1)   # [B,D]
+    pooled_v = jnp.mean(hidden[:, L:, :].astype(jnp.float32), axis=1)   # [B,D]
+
+    zero = jnp.asarray(0.0, jnp.float32)
+    aux = ProtoAux(zero, zero, jnp.asarray(-1.0), jnp.asarray(-1.0))
+
+    if proto_update_flag:
+        assert ques_labels is not None and cate_labels is not None
+        cur_q, num_q = batch_class_means(pooled_q, ques_labels)
+        cur_v, num_v = batch_class_means(pooled_v, cate_labels)
+        if use_memory_loss:
+            lq, lv = memory_loss(pooled_q, pooled_v, ques_labels,
+                                 cate_labels, proto_state)
+            aux = aux._replace(loss_memory_q=lq, loss_memory_v=lv)
+        proto_state = proto_update(proto_state, cur_q, cur_v, num_q, num_v,
+                                   proto_alpha, proto_beta)
+        q_vec, _, acc_q = cosine_retrieve(proto_state.q_proto, pooled_q,
+                                          ques_labels)
+        v_vec, _, acc_v = cosine_retrieve(proto_state.v_proto, pooled_v,
+                                          cate_labels)
+        aux = aux._replace(retrieval_acc_q=acc_q, retrieval_acc_v=acc_v)
+    else:
+        q_vec, _, _ = cosine_retrieve(proto_state.q_proto, pooled_q)
+        v_vec, _, _ = cosine_retrieve(proto_state.v_proto, pooled_v)
+
+    q_vec = jax.lax.stop_gradient(q_vec).astype(hidden.dtype)[:, None, :]
+    v_vec = jax.lax.stop_gradient(v_vec).astype(hidden.dtype)[:, None, :]
+    hidden_aug = jnp.concatenate([hidden, q_vec, v_vec], axis=1)
+    B = hidden.shape[0]
+    mask_aug = jnp.concatenate(
+        [enc_mask, jnp.ones((B, 2), enc_mask.dtype)], axis=1)
+    return hidden_aug, mask_aug, proto_state, aux
+
+
+# ---------------------------------------------------------------------------
+# decoding (teacher-forced) + loss
+# ---------------------------------------------------------------------------
+
+def decode_train(params: Params, cfg, hidden: jnp.ndarray,
+                 enc_mask: jnp.ndarray, labels: jnp.ndarray,
+                 deterministic: bool = True, rng=None,
+                 dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+    """Teacher-forced decode → f32 logits [B, T, vocab].
+
+    ``labels`` uses -100 for padding (collate semantics,
+    ``vqa_data_memory.py:366-368``); shifted right internally like HF.
+    """
+    dec_input_ids = t5.shift_right(labels, cfg.decoder_start_token_id,
+                                   cfg.pad_token_id)
+    dec_emb = t5.embed_tokens(params["shared"], dec_input_ids, dtype)
+    seq = t5.decoder_stack(params["decoder"], cfg, dec_emb, hidden, enc_mask,
+                           deterministic=deterministic, rng=rng, remat=remat)
+    return t5.lm_logits(params["shared"], seq, cfg.d_model,
+                        cfg.tie_word_embeddings)
+
+
+def token_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token CE with ignore_index=-100 (reduction='none',
+    modeling_t5_our.py:680-686). Returns (loss [B,T], mask [B,T])."""
+    mask = (labels != -100).astype(jnp.float32)
+    safe = jnp.where(labels == -100, 0, labels)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return nll * mask, mask
+
+
+def weighted_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                     scores: jnp.ndarray) -> jnp.ndarray:
+    """The train_step loss recipe (vqa_model.py:46-54): per-token CE →
+    per-sequence mean over non-pad → × per-sample answer score → batch
+    mean."""
+    nll, mask = token_cross_entropy(logits, labels)
+    per_seq = nll.sum(axis=1) / jnp.clip(mask.sum(axis=1), 1.0, None)
+    return jnp.mean(per_seq * scores.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# full train-time forward
+# ---------------------------------------------------------------------------
+
+class ForwardOut(NamedTuple):
+    loss: jnp.ndarray
+    proto_state: ProtoState
+    aux: ProtoAux
+
+
+def forward_train(params: Params, cfg, batch: Dict[str, jnp.ndarray],
+                  proto_state: ProtoState,
+                  proto_alpha: float, proto_beta: float,
+                  use_prototype: bool = True,
+                  use_memory_loss: bool = False,
+                  lambda_q: float = 0.0, lambda_v: float = 0.0,
+                  deterministic: bool = False, rng=None,
+                  dtype=jnp.bfloat16, remat: bool = False) -> ForwardOut:
+    """Full training forward (vqa_model.py:18-66 + modeling_t5_our.py:514-686).
+
+    batch: input_ids [B,L], vis_feats [B,N,2048], boxes [B,N,4],
+           target_ids [B,T] (-100 padded), scores [B],
+           ques_labels [B,10], cate_labels [B,80].
+    """
+    r_enc = r_dec = None
+    if rng is not None:
+        r_enc, r_dec = jax.random.split(rng)
+    hidden, enc_mask = encode(params, cfg, batch["input_ids"],
+                              batch["vis_feats"], batch["boxes"],
+                              deterministic=deterministic, rng=r_enc,
+                              dtype=dtype, remat=remat)
+    if use_prototype:
+        hidden, enc_mask, proto_state, aux = augment(
+            params, cfg, hidden, enc_mask, proto_state,
+            ques_labels=batch["ques_labels"], cate_labels=batch["cate_labels"],
+            proto_update_flag=True, use_memory_loss=use_memory_loss,
+            proto_alpha=proto_alpha, proto_beta=proto_beta)
+    else:
+        zero = jnp.asarray(0.0, jnp.float32)
+        aux = ProtoAux(zero, zero, jnp.asarray(-1.0), jnp.asarray(-1.0))
+
+    logits = decode_train(params, cfg, hidden, enc_mask, batch["target_ids"],
+                          deterministic=deterministic, rng=r_dec, dtype=dtype,
+                          remat=remat)
+    loss = weighted_lm_loss(logits, batch["target_ids"], batch["scores"])
+    if use_memory_loss:
+        loss = loss + lambda_q * aux.loss_memory_q + lambda_v * aux.loss_memory_v
+    return ForwardOut(loss=loss, proto_state=proto_state, aux=aux)

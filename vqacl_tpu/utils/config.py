@@ -1,0 +1,179 @@
+"""Run configuration.
+
+TPU-native replacement for the reference's argparse ``Config``
+(``VL-T5/src/param.py:54-246``): a typed dataclass covering every
+behaviorally-live flag of the reference plus the TPU-specific knobs
+(mesh shape, dtype policy). Supports yaml round-trip like
+``param.py:237-246`` and a CLI bridge in ``vqacl_tpu.cli``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class ModelConfig:
+    """VL-T5 architecture hyperparameters (t5-base defaults).
+
+    Mirrors the HF t5-base config consumed at
+    ``VL-T5/src/trainer_base.py:57-90`` with the visual-embedding
+    extensions of ``modeling_t5_our.py:27-76``.
+    """
+
+    vocab_size: int = 32200          # 32100 sentencepiece+extra ids + 100 vis ids
+    d_model: int = 768
+    d_kv: int = 64
+    num_heads: int = 12
+    d_ff: int = 3072
+    num_layers: int = 12             # encoder layers
+    num_decoder_layers: int = 12
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dropout_rate: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "relu"  # t5-base v1.0 uses ReLU
+    tie_word_embeddings: bool = True
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+
+    # --- visual embedding (modeling_t5_our.py:27-76) ---
+    feat_dim: int = 2048             # Faster-RCNN region feature dim
+    pos_dim: int = 4                 # (x1,y1,x2,y2); +1 area appended in-model
+    n_images: int = 2                # img_order embedding table size
+    use_vis_order_embedding: bool = True
+    use_vis_layer_norm: bool = True
+    individual_vis_layer_norm: bool = True
+
+    # --- sequence geometry (static; modeling_t5_our.py:381-382) ---
+    max_text_length: int = 20
+    n_boxes: int = 36
+    gen_max_length: int = 20         # HF generate() default max_length
+    target_max_length: int = 10      # answer token budget (vqa_data_memory.py:252)
+
+    # --- prototype mechanism (modeling_t5_our.py:391-396,465-511) ---
+    n_ques_types: int = 10           # Q prototype bank rows
+    n_categories: int = 80           # V prototype bank rows (COCO)
+    use_prototype: bool = True
+
+    @property
+    def encoder_len(self) -> int:
+        return self.max_text_length + self.n_boxes
+
+    @property
+    def encoder_len_with_proto(self) -> int:
+        return self.encoder_len + (2 if self.use_prototype else 0)
+
+
+@dataclass
+class TrainConfig:
+    """Optimization hyperparameters (``VL-T5/scripts/VQACL_train.sh:11-31``)."""
+
+    lr: float = 1e-4
+    warmup_ratio: float = 0.1
+    weight_decay: float = 0.01
+    adam_eps: float = 1e-6
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    clip_grad_norm: float = 5.0
+    batch_size: int = 80
+    valid_batch_size: int = 100
+    epochs: int = 3
+    schedule: str = "constant_warmup"   # trainer_base.py:189 (nextqa: linear)
+    freeze: bool = False                # trainer_base.py:162-186 embed-only training
+    from_scratch: bool = True
+    seed: int = 66666                   # Question_type.py:2
+    # loss weights for the SI memory regularizer (param.py:178-181)
+    lambda_Q: float = 0.05
+    lambda_V: float = 0.05
+    lambda_Q_new: float = 0.05
+    lambda_V_new: float = 0.05
+    memory: bool = True                 # experience replay on
+    m_size: int = 5000                  # replay buffer size M
+    comp_cate: str = "G-1"              # held-out category group ("G-1" = none)
+    proto_alpha: float = 0.5
+    proto_beta: float = 0.5
+    use_class_hierarchy: bool = True    # dual-level inner loop over G1..G5
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh / sharding policy (TPU-native; replaces DDP+NCCL,
+    ``vqacl.py:127,645``)."""
+
+    dp: int = -1                 # -1: all devices on the data axis
+    tp: int = 1                  # tensor-parallel axis size
+    dtype: str = "bfloat16"      # compute dtype
+    param_dtype: str = "float32"
+    remat: bool = False          # jax.checkpoint the encoder/decoder blocks
+
+
+@dataclass
+class DataConfig:
+    """Dataset locations + loader policy (vqa_data_memory.py paths)."""
+
+    dataset_root: str = "datasets"
+    feature_files: Dict[str, str] = field(default_factory=dict)
+    train_split: str = "karpathy_train"
+    valid_split: str = "karpathy_val"
+    test_split: str = "karpathy_test"
+    n_workers: int = 4
+    train_topk: int = -1
+    valid_topk: int = -1
+    answer_normalize: bool = False
+    host_cache_bytes: int = 4 << 30   # host-RAM tier of the feature cache
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    output: str = "snap/vqacl"
+    backbone: str = "t5-base"
+    verbose: bool = True
+
+    # ---- yaml round-trip (param.py:237-246 parity) ----
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        kw: Dict[str, Any] = {}
+        for f_ in dataclasses.fields(cls):
+            if f_.name not in raw:
+                continue
+            v = raw[f_.name]
+            sub = {"model": ModelConfig, "train": TrainConfig,
+                   "mesh": MeshConfig, "data": DataConfig}.get(f_.name)
+            kw[f_.name] = sub(**v) if sub is not None and isinstance(v, dict) else v
+        return cls(**kw)
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    """A scaled-down architecture for tests (same code path, tiny shapes)."""
+    base = dict(
+        vocab_size=256, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, feat_dim=16, max_text_length=6,
+        n_boxes=4, gen_max_length=6, target_max_length=5,
+        n_ques_types=10, n_categories=80,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)
