@@ -1,0 +1,99 @@
+"""End-to-end compiled train/eval step: learning + multi-device sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqacl_tpu.data.synthetic import SyntheticVQA
+from vqacl_tpu.models.prototype import ProtoState
+from vqacl_tpu.models.vlt5 import init_vlt5_params
+from vqacl_tpu.parallel import make_mesh, replicate, shard_batch
+from vqacl_tpu.train.optim import make_optimizer
+from vqacl_tpu.train.state import TrainState
+from vqacl_tpu.train.step import make_eval_step, make_train_step
+from vqacl_tpu.utils.config import Config, tiny_model_config
+
+
+def tiny_cfg():
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    cfg.train.lr = 5e-3
+    cfg.train.batch_size = 16
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = tiny_cfg()
+    cfg.train.lr = 1e-2
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(cfg.train, params, t_total=240)
+    proto = ProtoState.create(cfg.model.n_ques_types, cfg.model.n_categories,
+                              cfg.model.d_model)
+    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, dtype=jnp.float32)
+
+    data = SyntheticVQA(64, seed=0, feat_dim=cfg.model.feat_dim,
+                        n_boxes=cfg.model.n_boxes,
+                        text_len=cfg.model.max_text_length,
+                        vocab_size=cfg.model.vocab_size, answer_vocab=8)
+    losses = []
+    for ep in range(60):
+        for b in data.batches(16, seed=ep):
+            state, m = step(state, b["tensors"])
+            losses.append(float(m["loss"]))
+    return cfg, state, data, losses
+
+
+def test_loss_decreases(trained):
+    _, _, _, losses = trained
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert last < 0.5 * first, (first, last)
+
+
+def test_proto_state_advances(trained):
+    cfg, state, _, _ = trained
+    assert int(state.proto.steps_in_task) > 0
+    assert float(jnp.abs(state.proto.q_proto).sum()) > 0
+    assert float(jnp.abs(state.proto.v_proto).sum()) > 0
+
+
+def test_eval_step_predicts_learned_answers(trained):
+    cfg, state, data, _ = trained
+    eval_step = make_eval_step(cfg, dtype=jnp.float32)
+    batch = next(data.batches(16, seed=99))
+    tokens = np.asarray(eval_step(state.params, state.proto,
+                                  batch["tensors"]))
+    # first generated token should be the learned answer token
+    tgt = np.asarray(batch["tensors"]["target_ids"])[:, 0]
+    acc = float(np.mean(tokens[:, 0] == tgt))
+    assert acc > 0.5, acc
+
+
+def test_train_step_on_8dev_mesh():
+    """Batch-sharded dp=8 mesh: same step, XLA inserts the grad psum."""
+    cfg = tiny_cfg()
+    ctx = make_mesh(dp=8, tp=1)
+    assert ctx.dp == 8
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(cfg.train, params, t_total=10)
+    proto = ProtoState.create(cfg.model.n_ques_types, cfg.model.n_categories,
+                              cfg.model.d_model)
+    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1))
+    state = replicate(ctx, state)
+    step = make_train_step(cfg, tx, dtype=jnp.float32)
+
+    data = SyntheticVQA(32, seed=0, feat_dim=cfg.model.feat_dim,
+                        n_boxes=cfg.model.n_boxes,
+                        text_len=cfg.model.max_text_length,
+                        vocab_size=cfg.model.vocab_size, answer_vocab=8)
+    b = next(data.batches(16))
+    batch = shard_batch(ctx, b["tensors"])
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    # params stay replicated-consistent after the update
+    state2, m2 = step(state, batch)
+    assert np.isfinite(float(m2["loss"]))

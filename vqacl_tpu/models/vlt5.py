@@ -178,7 +178,8 @@ def token_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray
     """Per-token CE with ignore_index=-100 (reduction='none',
     modeling_t5_our.py:680-686). Returns (loss [B,T], mask [B,T])."""
     mask = (labels != -100).astype(jnp.float32)
-    safe = jnp.where(labels == -100, 0, labels)
+    safe = jnp.clip(jnp.where(labels == -100, 0, labels), 0,
+                    logits.shape[-1] - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     return nll * mask, mask

@@ -1,0 +1,98 @@
+"""Optimizer + LR schedule factory.
+
+Rebuild of ``TrainerBase.create_optimizer_and_scheduler``
+(/root/reference/VL-T5/src/trainer_base.py:130-198) on optax:
+
+- AdamW with the reference's two param groups — no weight decay on
+  biases and layer-norm weights (:146-160) — expressed as an optax mask;
+- constant-with-warmup schedule (:189; the NExT-QA trainer uses
+  linear-with-warmup, nextqa/trainer_base.py:207) with warmup =
+  ``warmup_ratio * t_total`` steps;
+- global-norm gradient clipping (clip 5, vqacl.py:475) fused into the
+  chain so the whole update is one compiled step;
+- ``freeze`` mode: train only the shared embedding
+  (trainer_base.py:162-186), as a trainable-mask.
+
+The CL loop creates a FRESH optimizer per (task × category-group)
+(vqacl.py:329) — cheap here: just new opt_state zeros.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _is_no_decay(path: tuple) -> bool:
+    """biases + layer norms + rel-pos tables follow the reference's
+    no_decay group ('bias', 'LayerNorm.weight')."""
+    name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    return (name.startswith("ln") or name == "final_ln"
+            or name.endswith("_b") or name.endswith("_ln")
+            or name == "rel_bias")
+
+
+def decay_mask(params: Any) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: not _is_no_decay(p), params)
+
+
+def freeze_mask(params: Any) -> Any:
+    """True = trainable. Freeze everything but the shared embedding
+    (trainer_base.py:162-186)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: any(
+            (k.key if hasattr(k, "key") else str(k)) == "shared" for k in p),
+        params)
+
+
+def make_schedule(lr: float, t_total: int, warmup_ratio: float,
+                  kind: str = "constant_warmup") -> Callable:
+    warmup = max(int(warmup_ratio * t_total), 1)
+    if kind == "constant_warmup":
+        return lambda step: lr * jnp.minimum(1.0, (step + 1) / warmup)
+    if kind == "linear_warmup":  # nextqa/trainer_base.py:207
+        def sched(step):
+            wu = jnp.minimum(1.0, (step + 1) / warmup)
+            decay = jnp.maximum(
+                0.0, (t_total - step) / jnp.maximum(1.0, t_total - warmup))
+            return lr * jnp.where(step < warmup, wu, decay)
+        return sched
+    raise ValueError(kind)
+
+
+def make_optimizer(cfg_train, params: Any, t_total: int
+                   ) -> optax.GradientTransformation:
+    sched = make_schedule(cfg_train.lr, t_total, cfg_train.warmup_ratio,
+                          cfg_train.schedule)
+    parts = [
+        optax.clip_by_global_norm(cfg_train.clip_grad_norm),
+        optax.adamw(
+            learning_rate=sched,
+            b1=cfg_train.adam_beta1, b2=cfg_train.adam_beta2,
+            eps=cfg_train.adam_eps,
+            weight_decay=cfg_train.weight_decay,
+            mask=decay_mask,
+        ),
+    ]
+    if cfg_train.freeze:
+        parts.append(_apply_mask(freeze_mask))
+    return optax.chain(*parts)
+
+
+def _apply_mask(mask_fn) -> optax.GradientTransformation:
+    """Multiply updates by a 0/1 trainability mask."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        mask = mask_fn(updates)
+        new = jax.tree.map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, mask)
+        return new, state
+
+    return optax.GradientTransformation(init, update)

@@ -1,0 +1,138 @@
+"""Compiled train / eval steps.
+
+The reference hot loop (vqacl.py:364-389 → vqa_model.py:18 →
+modeling_t5_our.py:514) does per-batch host→device copies, a DDP
+all-reduce, clip, AdamW step and LR-scheduler tick as separate torch
+ops. Here the ENTIRE iteration — forward (incl. prototype EMA update +
+retrieval), backward, clip, AdamW, schedule — is one jit-compiled XLA
+program over the device mesh; gradient reduction is implicit in the
+batch sharding (psum over ``dp`` inserted by GSPMD). Replay training
+(two steps per iteration, vqacl.py:371-373) reuses the same compiled fn.
+
+Eval is a second compiled program: encode → prototype retrieval
+(hoisted out of the decode loop) → scan-based greedy decode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vqacl_tpu.models import vlt5
+from vqacl_tpu.models.generate import greedy_decode
+from vqacl_tpu.train.state import TrainState
+
+
+def make_train_step(cfg, tx: optax.GradientTransformation,
+                    dtype=jnp.bfloat16,
+                    use_prototype: Optional[bool] = None,
+                    use_memory_loss: bool = False,
+                    remat: bool = False,
+                    donate: bool = True) -> Callable:
+    """Returns jitted ``(state, batch) -> (state, metrics)``.
+
+    batch: input_ids[B,L] i32, vis_feats[B,N,2048] f32, boxes[B,N,4] f32,
+    target_ids[B,T] i32 (-100 pad), scores[B] f32, ques_labels[B,10],
+    cate_labels[B,80].
+    """
+    mcfg, tcfg = cfg.model, cfg.train
+    if use_prototype is None:
+        use_prototype = mcfg.use_prototype
+
+    def loss_fn(params, proto, batch, rng):
+        out = vlt5.forward_train(
+            params, mcfg, batch, proto,
+            proto_alpha=tcfg.proto_alpha, proto_beta=tcfg.proto_beta,
+            use_prototype=use_prototype,
+            use_memory_loss=use_memory_loss,
+            lambda_q=tcfg.lambda_Q, lambda_v=tcfg.lambda_V,
+            deterministic=False, rng=rng, dtype=dtype, remat=remat)
+        return out.loss, (out.proto_state, out.aux)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, (proto, aux)), grads = grad_fn(
+            state.params, state.proto, batch, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, proto=proto, rng=rng)
+        metrics = {
+            "loss": loss,
+            "grad_norm": gnorm,
+            "loss_memory_Q": aux.loss_memory_q,
+            "loss_memory_V": aux.loss_memory_v,
+            "retrieval_acc_Q": aux.retrieval_acc_q,
+            "retrieval_acc_V": aux.retrieval_acc_v,
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg, dtype=jnp.bfloat16,
+                   use_prototype: Optional[bool] = None,
+                   max_length: Optional[int] = None) -> Callable:
+    """Returns jitted ``(params, proto, batch) -> token_ids [B, T]``.
+
+    Mirrors ``test_step`` (vqa_model.py:69-119): encoder once, prototype
+    retrieval WITHOUT update (modeling_t5_our.py:607-611), greedy decode.
+    """
+    mcfg = cfg.model
+    if use_prototype is None:
+        use_prototype = mcfg.use_prototype
+
+    def eval_step(params, proto, batch):
+        hidden, enc_mask = vlt5.encode(
+            params, mcfg, batch["input_ids"], batch["vis_feats"],
+            batch["boxes"], deterministic=True, dtype=dtype)
+        if use_prototype:
+            hidden, enc_mask, _, _ = vlt5.augment(
+                params, mcfg, hidden, enc_mask, proto,
+                proto_update_flag=False)
+        return greedy_decode(params, mcfg, hidden, enc_mask,
+                             max_length=max_length, dtype=dtype)
+
+    return jax.jit(eval_step)
+
+
+def make_loss_eval_step(cfg, dtype=jnp.bfloat16,
+                        use_prototype: Optional[bool] = None) -> Callable:
+    """Validation-loss step (no grad, no proto update)."""
+    mcfg, tcfg = cfg.model, cfg.train
+    if use_prototype is None:
+        use_prototype = mcfg.use_prototype
+
+    def step(params, proto, batch):
+        out = vlt5.forward_train(
+            params, mcfg, batch, proto,
+            proto_alpha=tcfg.proto_alpha, proto_beta=tcfg.proto_beta,
+            use_prototype=use_prototype, use_memory_loss=False,
+            deterministic=True, rng=None, dtype=dtype)
+        return out.loss
+
+    # eval-time augment must not update the banks: recompute without update
+    def eval_loss(params, proto, batch):
+        hidden, enc_mask = vlt5.encode(
+            params, mcfg, batch["input_ids"], batch["vis_feats"],
+            batch["boxes"], deterministic=True, dtype=dtype)
+        if use_prototype:
+            hidden, enc_mask, _, _ = vlt5.augment(
+                params, mcfg, hidden, enc_mask, proto,
+                proto_update_flag=False)
+        logits = vlt5.decode_train(params, mcfg, hidden, enc_mask,
+                                   batch["target_ids"], deterministic=True,
+                                   dtype=dtype)
+        return vlt5.weighted_lm_loss(logits, batch["target_ids"],
+                                     batch["scores"])
+
+    del step
+    return jax.jit(eval_loss)
