@@ -1,0 +1,111 @@
+"""Benchmark: QA pairs/sec/chip for the VQACL train+decode pipeline.
+
+Measures the two hot programs of the framework at the reference's
+published hyperparameters (t5-base VL-T5, batch 80, 20 text + 36 visual
+tokens, answers ≤10 tokens, greedy decode to 20 — scripts/VQACL_train.sh):
+
+  train: one full compiled iteration (fwd incl. prototype EMA+retrieval,
+         bwd, clip, AdamW) — the loop body of vqacl.py:364-389
+  decode: encoder + prototype retrieval + 19-step greedy scan with KV
+          cache — the loop body of vqacl.py:592-607
+
+Reported value = combined pipeline throughput for the benchmark's
+canonical "1 train step + 1 decode per QA pair" accounting:
+      rate = 1 / (1/rate_train + 1/rate_decode).
+
+vs_baseline compares against an estimated A100 PyTorch reference of
+1000 QA pairs/sec (the repo publishes no throughput numbers —
+SURVEY.md §6; estimate: VL-T5-base fp32 bs80 ≈ 15 it/s train, ≈ 8 it/s
+greedy-20 decode on A100 → combined ≈ 1000 pairs/s).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_PAIRS_PER_SEC = 1000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vqacl_tpu.data.collate import collate
+    from vqacl_tpu.data.synthetic import SyntheticVQA
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+    from vqacl_tpu.train.optim import make_transform
+    from vqacl_tpu.train.state import TrainState
+    from vqacl_tpu.train.step import make_eval_step, make_train_step
+    from vqacl_tpu.utils.config import Config
+
+    cfg = Config()
+    m = cfg.model
+    B = cfg.train.batch_size  # 80, reference VQACL_train.sh
+
+    pool = SyntheticVQA(B, seed=0, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                        text_len=m.max_text_length, vocab_size=m.vocab_size,
+                        answer_vocab=64)
+    batch = collate(pool.examples, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                    max_text_length=m.max_text_length,
+                    target_max_length=m.target_max_length)["tensors"]
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = init_vlt5_params(jax.random.PRNGKey(0), m)
+    tx = make_transform(cfg.train)
+    proto = ProtoState.create(m.n_ques_types, m.n_categories, m.d_model)
+    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1),
+                              warmup_iters=100.0, t_total=1000.0)
+    train_step = make_train_step(cfg, tx, dtype=jnp.bfloat16)
+    eval_step = make_eval_step(cfg, dtype=jnp.bfloat16)
+
+    # ---- train throughput ----
+    state, _ = train_step(state, batch)           # compile
+    jax.block_until_ready(state.params)
+    n_train = 20
+    t0 = time.perf_counter()
+    for _ in range(n_train):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(state.params)
+    dt_train = (time.perf_counter() - t0) / n_train
+    rate_train = B / dt_train
+
+    # ---- decode throughput ----
+    toks = eval_step(state.params, state.proto, batch)   # compile
+    jax.block_until_ready(toks)
+    n_dec = 20
+    t0 = time.perf_counter()
+    for _ in range(n_dec):
+        toks = eval_step(state.params, state.proto, batch)
+    jax.block_until_ready(toks)
+    dt_dec = (time.perf_counter() - t0) / n_dec
+    rate_dec = B / dt_dec
+
+    combined = 1.0 / (1.0 / rate_train + 1.0 / rate_dec)
+    n_chips = max(len(jax.devices()), 1)
+    value = combined / n_chips
+
+    print(json.dumps({
+        "metric": "QA pairs/sec/chip (train+decode)",
+        "value": round(value, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / A100_BASELINE_PAIRS_PER_SEC, 3),
+        "detail": {
+            "train_pairs_per_s": round(rate_train, 1),
+            "decode_pairs_per_s": round(rate_dec, 1),
+            "train_step_ms": round(dt_train * 1e3, 2),
+            "decode_step_ms": round(dt_dec * 1e3, 2),
+            "batch_size": B,
+            "n_chips": n_chips,
+            "loss": float(metrics["loss"]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

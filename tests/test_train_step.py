@@ -10,7 +10,7 @@ from vqacl_tpu.data.synthetic import SyntheticVQA
 from vqacl_tpu.models.prototype import ProtoState
 from vqacl_tpu.models.vlt5 import init_vlt5_params
 from vqacl_tpu.parallel import make_mesh, replicate, shard_batch
-from vqacl_tpu.train.optim import make_optimizer
+from vqacl_tpu.train.optim import make_transform
 from vqacl_tpu.train.state import TrainState
 from vqacl_tpu.train.step import make_eval_step, make_train_step
 from vqacl_tpu.utils.config import Config, tiny_model_config
@@ -29,10 +29,10 @@ def trained():
     cfg = tiny_cfg()
     cfg.train.lr = 1e-2
     params = init_vlt5_params(jax.random.PRNGKey(0), cfg.model)
-    tx = make_optimizer(cfg.train, params, t_total=240)
+    tx = make_transform(cfg.train)
     proto = ProtoState.create(cfg.model.n_ques_types, cfg.model.n_categories,
                               cfg.model.d_model)
-    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1))
+    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1), warmup_iters=24.0, t_total=240.0)
     step = make_train_step(cfg, tx, dtype=jnp.float32)
 
     data = SyntheticVQA(64, seed=0, feat_dim=cfg.model.feat_dim,
@@ -79,10 +79,10 @@ def test_train_step_on_8dev_mesh():
     ctx = make_mesh(dp=8, tp=1)
     assert ctx.dp == 8
     params = init_vlt5_params(jax.random.PRNGKey(0), cfg.model)
-    tx = make_optimizer(cfg.train, params, t_total=10)
+    tx = make_transform(cfg.train)
     proto = ProtoState.create(cfg.model.n_ques_types, cfg.model.n_categories,
                               cfg.model.d_model)
-    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1))
+    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1), warmup_iters=24.0, t_total=240.0)
     state = replicate(ctx, state)
     step = make_train_step(cfg, tx, dtype=jnp.float32)
 

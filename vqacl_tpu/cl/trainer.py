@@ -1,0 +1,301 @@
+"""VQACL continual-learning trainer: the dual-level task loop.
+
+Rebuild of ``Trainer`` (/root/reference/VL-T5/src/vqacl.py:54-635) as
+thin host orchestration around two compiled programs (train step, eval
+step). Loop structure kept bit-for-comparable:
+
+  for task in 10 linguistic tasks:                (vqacl.py:165)
+    rebuild exemplar buffer from prev task         (:170-203)
+    build per-group train/val/memory loaders + test loaders (:214-283)
+    shuffle group order (seeded)                   (:314)
+    for group in G1..G5 (shuffled):                (:316)
+      fresh optimizer, t_total = (2×)train size    (:324-335)
+      skip if group == comp_cate and not first task (:337-339)
+      for epoch in epochs:                         (:342)
+        for batch, mem_batch in zip(train, cycle(memory)):  (:358-373)
+          train_step(batch); train_step(mem_batch)
+        validate on the group's val loader         (:399)
+    save {task}_LAST checkpoint                    (:414)
+    test(task): eval on all previously trained tasks → result matrix (:417,533-584)
+  final: Avg-Acc / Avg-Forget metrics              (:661-673)
+
+DDP barriers/all_gathers vanish (single-process mesh, SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqacl_tpu.cl.exemplar import ExemplarBuffer
+from vqacl_tpu.cl.metrics import ResultMatrix, evaluate_metric
+from vqacl_tpu.cl.tasks import make_rng, random_dic
+from vqacl_tpu.data.partition import BatchLoader, group_loaders, all_loader
+from vqacl_tpu.models.prototype import ProtoState
+from vqacl_tpu.models.vlt5 import init_vlt5_params
+from vqacl_tpu.parallel import make_mesh, replicate, shard_batch
+from vqacl_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from vqacl_tpu.train.optim import make_transform
+from vqacl_tpu.train.state import TrainState
+from vqacl_tpu.train.step import make_eval_step, make_train_step
+
+
+class LossMeter:
+    """Window-100 running mean (utils.py:40-56)."""
+
+    def __init__(self, maxlen: int = 100):
+        self.vals: List[float] = []
+        self.maxlen = maxlen
+
+    def update(self, v: float) -> None:
+        self.vals.append(v)
+        if len(self.vals) > self.maxlen:
+            self.vals.pop(0)
+
+    @property
+    def val(self) -> float:
+        return sum(self.vals) / len(self.vals) if self.vals else 0.0
+
+
+class VQACLTrainer:
+    def __init__(self, cfg, data, tokenizer, verbose: bool = True,
+                 mesh_ctx=None, init_params=None, dtype=None):
+        self.cfg = cfg
+        self.data = data                      # DataModule (see synthetic_module)
+        self.tok = tokenizer
+        self.verbose = verbose
+        self.tasks: List[str] = list(data.tasks)
+        self.ctx = mesh_ctx or make_mesh()
+        self.dtype = dtype or jnp.bfloat16
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        params = init_params if init_params is not None else \
+            init_vlt5_params(rng, cfg.model)
+        proto = ProtoState.create(cfg.model.n_ques_types,
+                                  cfg.model.n_categories, cfg.model.d_model)
+        # LR-less transform (dynamic schedule lives in state.sched), so
+        # per-group optimizer resets never trigger a recompile
+        self._tx = make_transform(cfg.train)
+        state = TrainState.create(params, self._tx, proto,
+                                  jax.random.PRNGKey(cfg.train.seed + 1))
+        self.state = replicate(self.ctx, state)
+
+        self._train_step_cache: Dict[Any, Any] = {}
+        self.eval_step = make_eval_step(cfg, dtype=self.dtype)
+
+        self.buffer = ExemplarBuffer(cfg.train.m_size)
+        self.result_matrix = ResultMatrix(self.tasks)
+        self.py_rng = make_rng(cfg.train.seed)
+        self.task_total_num: Dict[int, int] = {}
+        self.metrics_log: List[Dict] = []
+        self.test_loader_dict_all: Dict[str, BatchLoader] = {}
+
+    # ------------------------------------------------------------------
+    def _train_step(self, use_memory_loss: bool):
+        key = bool(use_memory_loss)
+        if key not in self._train_step_cache:
+            self._train_step_cache[key] = make_train_step(
+                self.cfg, self._tx, dtype=self.dtype,
+                use_memory_loss=use_memory_loss,
+                remat=self.cfg.mesh.remat)
+        return self._train_step_cache[key]
+
+    def _reset_optimizer(self, total_train_num: int) -> None:
+        """Fresh AdamW per group with the reference's t_total accounting
+        (trainer_base.py:137-145)."""
+        bs = self.cfg.train.batch_size
+        batch_per_epoch = max(int(total_train_num / bs), 1)
+        t_total = batch_per_epoch * self.cfg.train.epochs
+        warmup = max(int(t_total * self.cfg.train.warmup_ratio), 1)
+        self.state = self.state.reset_optimizer(self._tx, warmup, t_total)
+
+    # ------------------------------------------------------------------
+    def train(self, resume_task: Optional[str] = None) -> Dict:
+        start_idx = 0
+        if resume_task is not None:
+            start_idx = self.tasks.index(resume_task) + 1
+            params, proto, _ = load_checkpoint(
+                os.path.join(self.cfg.output, f"{resume_task}_LAST"))
+            self.state = self.state._replace(
+                params=replicate(self.ctx, params),
+                proto=replicate(self.ctx, proto))
+
+        for task_idx in range(start_idx, len(self.tasks)):
+            task = self.tasks[task_idx]
+            self._log(f"======== task {task} ({task_idx}) ========")
+            self.train_task(task_idx, first_trained=(task_idx == start_idx))
+
+            save_checkpoint(
+                os.path.join(self.cfg.output, f"{task}_LAST"),
+                jax.device_get(self.state.params),
+                jax.device_get(self.state.proto), int(self.state.step))
+            self.test(task)
+
+        # prototype export for reference parity (vqacl.py:420-426)
+        os.makedirs(self.cfg.output, exist_ok=True)
+        np.save(os.path.join(self.cfg.output, "Q_prototype.npy"),
+                np.asarray(self.state.proto.q_proto))
+        np.save(os.path.join(self.cfg.output, "V_prototype.npy"),
+                np.asarray(self.state.proto.v_proto))
+        metrics = evaluate_metric(self.result_matrix.to_dict())
+        with open(os.path.join(self.cfg.output, "metrics.json"), "w") as f:
+            json.dump({k: v for k, v in metrics.items()}, f, indent=2,
+                      default=float)
+        self._log(self.result_matrix.show())
+        self._log(f"Avg_acc {metrics['Avg_acc']:.2f} "
+                  f"Avg_forget {metrics['Avg_forget']:.2f}")
+        return metrics
+
+    # ------------------------------------------------------------------
+    def train_task(self, task_idx: int, first_trained: bool = False) -> None:
+        cfg = self.cfg
+        task = self.tasks[task_idx]
+
+        # -- exemplar rebuild from previous task (vqacl.py:170-203) --
+        mem_items: List[dict] = []
+        if cfg.train.memory and task_idx > 0:
+            prev = self.data.train_items(self.tasks[task_idx - 1])
+            self.buffer.update(task_idx, prev, self.data.cate_map, self.py_rng)
+            mem_items = self.buffer.all_examplars()
+            self._log(f"# memory size: {len(mem_items)}")
+
+        train_ds = self.data.dataset(task, "train", task_idx=task_idx)
+        val_ds = self.data.dataset(task, "val", task_idx=task_idx)
+        test_ds_all = self.data.dataset(task, "test", task_idx=task_idx)
+        self.task_total_num[task_idx] = len(train_ds)
+
+        bs = cfg.train.batch_size
+        vbs = cfg.train.valid_batch_size
+        train_loaders = group_loaders(train_ds, bs, shuffle=True,
+                                      seed=cfg.train.seed,
+                                      collate_kw=self._ck())
+        val_loaders = group_loaders(val_ds, vbs, shuffle=False,
+                                    with_targets=True, collate_kw=self._ck())
+        mem_ds = self.data.make_dataset(mem_items, mode="train",
+                                        task_idx=task_idx)
+        mem_loaders = group_loaders(mem_ds, bs, shuffle=True,
+                                    seed=cfg.train.seed + 7,
+                                    collate_kw=self._ck())
+        self.test_loader_dict_all[task] = all_loader(
+            test_ds_all, vbs, with_targets=False, collate_kw=self._ck())
+
+        self.state = self.state._replace(
+            proto=self.state.proto.start_task(task_idx))
+
+        group_order = random_dic({g: None for g in train_loaders},
+                                 self.py_rng)
+        use_mem_loss = cfg.train.memory and task_idx > 0 and \
+            cfg.model.use_prototype
+
+        for group in group_order:
+            tl, vl, ml = train_loaders[group], val_loaders[group], \
+                mem_loaders[group]
+            if tl.num_examples == 0:
+                continue
+            total = 2 * tl.num_examples if ml.num_examples > 0 \
+                else tl.num_examples
+            self._reset_optimizer(total)
+
+            # comp split: hold the comp group out except on the first
+            # trained task (vqacl.py:337-339)
+            if group == cfg.train.comp_cate and not first_trained:
+                self._log(f"-- skip group {group} (composition holdout)")
+                continue
+            self._log(f"-- group {group}: {tl.num_examples} train, "
+                      f"{ml.num_examples} memory")
+
+            step_fn = self._train_step(use_mem_loss)
+            meter, meter_mem = LossMeter(), LossMeter()
+            for epoch in range(cfg.train.epochs):
+                it = zip(tl, itertools.cycle(ml)) if ml.num_examples > 0 \
+                    else ((b, None) for b in tl)
+                for batch, mem_batch in it:
+                    self.state, m = step_fn(
+                        self.state, shard_batch(self.ctx, batch["tensors"]))
+                    meter.update(float(m["loss"]))
+                    if mem_batch is not None:
+                        self.state, mm = step_fn(
+                            self.state,
+                            shard_batch(self.ctx, mem_batch["tensors"]))
+                        meter_mem.update(float(mm["loss"]))
+                if vl.num_examples > 0:
+                    score = self.evaluate(vl, task)
+                    self._log(f"   {group} epoch {epoch}: loss {meter.val:.4f}"
+                              f" mem {meter_mem.val:.4f}"
+                              f" val {score.get('overall', 0):.2f}")
+            self.metrics_log.append({"task": task, "group": group,
+                                     "loss": meter.val})
+
+    # ------------------------------------------------------------------
+    def predict(self, loader: BatchLoader) -> Dict[Any, str]:
+        """Greedy generation over a loader → {question_id: answer string}
+        (vqacl.py:586-624 without the Gloo all_gather)."""
+        quesid2ans: Dict[Any, str] = {}
+        for batch in loader:
+            tokens = self.eval_step(self.state.params, self.state.proto,
+                                    shard_batch(self.ctx, batch["tensors"]))
+            tokens = np.asarray(tokens)
+            n_real = batch["meta"]["n_real"]
+            answers = self.tok.batch_decode(tokens[:n_real])
+            for qid, ans in zip(batch["meta"]["question_ids"][:n_real],
+                                answers):
+                quesid2ans[qid] = ans
+        return quesid2ans
+
+    def evaluate(self, loader: BatchLoader, task: str) -> Dict[str, float]:
+        quesid2ans = self.predict(loader)
+        evaluator = self.data.evaluator(task, loader)
+        return evaluator(quesid2ans)
+
+    # ------------------------------------------------------------------
+    def test(self, task: str, load: bool = False) -> None:
+        """Evaluate on all previously trained tasks → result matrix row
+        (vqacl.py:533-584)."""
+        if load:
+            params, proto, _ = load_checkpoint(
+                os.path.join(self.cfg.output, f"{task}_LAST"))
+            self.state = self.state._replace(
+                params=replicate(self.ctx, params),
+                proto=replicate(self.ctx, proto))
+        trained_upto = self.tasks.index(task)
+        for j in range(trained_upto + 1):
+            test_task = self.tasks[j]
+            loader = self.test_loader_dict_all.get(test_task)
+            if loader is None:
+                test_ds = self.data.dataset(test_task, "test", task_idx=j)
+                loader = all_loader(test_ds, self.cfg.train.valid_batch_size,
+                                    with_targets=False, collate_kw=self._ck())
+                self.test_loader_dict_all[test_task] = loader
+            score = self.evaluate(loader, test_task)
+            acc = score.get("overall", 0.0)
+            self.result_matrix.record(task, test_task, acc)
+            self._log(f"   test[{task}→{test_task}] = {acc:.2f}")
+
+    def Test(self) -> Dict:
+        """Eval-only over the full sequence from saved per-task
+        checkpoints (vqacl.py:511-531)."""
+        for task in self.tasks:
+            path = os.path.join(self.cfg.output, f"{task}_LAST.npz")
+            if not os.path.exists(path):
+                break
+            self.test(task, load=True)
+        return evaluate_metric(self.result_matrix.to_dict())
+
+    # ------------------------------------------------------------------
+    def _ck(self) -> Dict:
+        m = self.cfg.model
+        return dict(max_text_length=m.max_text_length, n_boxes=m.n_boxes,
+                    target_max_length=m.target_max_length,
+                    n_ques_types=m.n_ques_types, n_categories=m.n_categories,
+                    feat_dim=m.feat_dim)
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg, flush=True)

@@ -1,0 +1,216 @@
+"""Partition_Q dataset: per-question-type VQA v2 splits + group loaders.
+
+Rebuild of ``VQAFineTuneDataset`` / ``get_loader*``
+(/root/reference/VL-T5/src/vqa_data_memory.py:36-912):
+
+- reads ``Partition_Q/karpathy_{split}_{task}.json`` items
+  ``{img_id, question_id, sent, label{ans:score}, answers?, ...}``;
+- per-example: h5 features + [0,1]-clamped boxes, ``vqa: {sent}``
+  prompt tokenized to ≤20 ids, answer sampled from the label dict by
+  score-weighted multinomial (vqa_data_memory.py:260-276), category
+  label from ImgId_cate_map and question-type label from
+  QuesId_task_map;
+- loaders are dict-of-groups {G1..G5 → iterator} split by the image's
+  COCO category (get_loader, :858-912), plus an all-categories test
+  loader (get_loader_test, :810) and an exemplar loader
+  (get_loader_memory, :756).
+
+TPU deltas: batches are padded to a STATIC global batch size (masked
+tail rows carry zero labels/scores → no loss/prototype contribution),
+and iteration is plain numpy + a background prefetch thread instead of
+torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+from vqacl_tpu.cl.tasks import ALL_TASKS, CATEGORY_SPLITS
+from vqacl_tpu.data.collate import collate
+
+
+def load_partition(root: str, split: str, task: str) -> List[Dict]:
+    """datasets/vqa/Partition_Q/karpathy_{split}_{task}.json"""
+    path = os.path.join(root, "vqa", "Partition_Q",
+                        f"{split}_{task}.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_maps(root: str):
+    """QuesId_task_map.json + ImgId_cate_map.json (Question_type.py:29-33)."""
+    with open(os.path.join(root, "QuesId_task_map.json")) as f:
+        ques_map = json.load(f)
+    with open(os.path.join(root, "ImgId_cate_map.json")) as f:
+        cate_map = json.load(f)
+    return ques_map, cate_map
+
+
+class VQAPartitionDataset:
+    """Examples from one task-split, tokenized + feature-joined lazily."""
+
+    def __init__(self, data: Sequence[Dict], tokenizer, feature_store,
+                 ques_map: Mapping[str, int], cate_map: Mapping[str, int],
+                 max_text_length: int = 20, target_max_length: int = 10,
+                 mode: str = "train", seed: int = 66666,
+                 task_idx: Optional[int] = None):
+        self.data = list(data)
+        self.tok = tokenizer
+        self.features = feature_store
+        self.ques_map = ques_map
+        self.cate_map = cate_map
+        self.L = max_text_length
+        self.T = target_max_length
+        self.mode = mode
+        self.rng = np.random.default_rng(seed)
+        self.task_idx = task_idx
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def example(self, i: int) -> Dict[str, Any]:
+        d = self.data[i]
+        img_id = d["img_id"]
+        feats, boxes = self.features.get(img_id)
+        sent = d.get("sent", d.get("question"))
+        input_ids = self.tok.encode(f"vqa: {sent}", max_length=self.L)
+        qid = d["question_id"]
+        ex: Dict[str, Any] = {
+            "input_ids": input_ids,
+            "vis_feats": feats,
+            "boxes": boxes,
+            "question_id": qid,
+            "sent": sent,
+            "ques_label": int(self.ques_map.get(str(qid),
+                                                self.task_idx or 0)),
+            "cate_label": int(self.cate_map.get(str(img_id),
+                                                self.cate_map.get(img_id, 0))),
+        }
+        if "label" in d and d["label"]:
+            answers, scores = zip(*d["label"].items())
+            ssum = float(sum(scores))
+            if ssum <= 0:
+                answer, score = "", 0.0
+            elif self.mode == "train":
+                # score-weighted multinomial (vqa_data_memory.py:268-276)
+                p = np.asarray(scores, np.float64) / ssum
+                choice = int(self.rng.choice(len(answers), p=p))
+                answer, score = answers[choice], float(scores[choice])
+            else:
+                choice = int(np.argmax(scores))
+                answer, score = answers[choice], float(scores[choice])
+            ex["target_ids"] = self.tok.encode(answer, max_length=self.T)
+            ex["score"] = score
+            ex["answers"] = list(answers)
+            ex["label"] = d["label"]
+        return ex
+
+
+def split_by_group(dataset: VQAPartitionDataset,
+                   splits: Mapping[str, List[int]] = CATEGORY_SPLITS
+                   ) -> Dict[str, List[int]]:
+    """Index lists per category group (get_loader semantics: an example
+    joins the group containing its image's COCO category)."""
+    out: Dict[str, List[int]] = {g: [] for g in splits}
+    cate_of = {}
+    for g, ids in splits.items():
+        for c in ids:
+            cate_of[c] = g
+    for i, d in enumerate(dataset.data):
+        img_id = str(d["img_id"])
+        c = dataset.cate_map.get(img_id)
+        if c is None:
+            continue
+        g = cate_of.get(int(c))
+        if g is not None:
+            out[g].append(i)
+    return out
+
+
+class BatchLoader:
+    """Static-shape batch iterator over a set of example indices, with a
+    one-deep background prefetch thread (overlaps h5 reads + tokenize
+    with device compute)."""
+
+    def __init__(self, dataset: VQAPartitionDataset, indices: Sequence[int],
+                 batch_size: int, shuffle: bool = True, seed: int = 0,
+                 with_targets: bool = True, drop_last: bool = False,
+                 collate_kw: Optional[Dict] = None, prefetch: bool = True):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, np.int64)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.with_targets = with_targets
+        self.drop_last = drop_last
+        self.collate_kw = collate_kw or {}
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.indices)
+
+    def _make_batches(self) -> Iterator[Dict]:
+        order = self.indices.copy()
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        for s in range(0, len(order), self.batch_size):
+            idx = order[s:s + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            exs = [self.dataset.example(int(i)) for i in idx]
+            yield collate(exs, pad_to_batch=self.batch_size,
+                          with_targets=self.with_targets, **self.collate_kw)
+
+    def __iter__(self) -> Iterator[Dict]:
+        self._epoch += 1
+        if not self.prefetch:
+            yield from self._make_batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self._make_batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def group_loaders(dataset: VQAPartitionDataset, batch_size: int,
+                  shuffle: bool = True, seed: int = 0,
+                  with_targets: bool = True, **kw) -> Dict[str, BatchLoader]:
+    """{G1..G5: BatchLoader} (get_loader, vqa_data_memory.py:858-912)."""
+    groups = split_by_group(dataset)
+    return {g: BatchLoader(dataset, idx, batch_size, shuffle=shuffle,
+                           seed=seed, with_targets=with_targets, **kw)
+            for g, idx in groups.items()}
+
+
+def all_loader(dataset: VQAPartitionDataset, batch_size: int,
+               with_targets: bool = False, **kw) -> BatchLoader:
+    """All-categories loader (get_loader_test, vqa_data_memory.py:810)."""
+    return BatchLoader(dataset, np.arange(len(dataset)), batch_size,
+                       shuffle=False, with_targets=with_targets, **kw)

@@ -1,0 +1,121 @@
+"""Synthetic DataModule: drives the FULL real pipeline with no artifacts.
+
+Generates Partition_Q-shaped raw items (img_id / question_id / sent /
+label / answers), an in-memory feature store, and the two id-maps —
+then feeds them through the REAL ``VQAPartitionDataset`` → collate →
+group-loader → exemplar path, so CL smoke tests and benches exercise
+exactly the code that real data will.
+
+Answers are real words ("ans0".."ansK") tokenized through the same
+tokenizer the model decodes with, so generated strings round-trip and
+the official VQA accuracy math runs unmodified.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vqacl_tpu.cl.tasks import ALL_TASKS, CATEGORY_SPLITS
+from vqacl_tpu.data.features import MemoryFeatureStore
+from vqacl_tpu.data.partition import VQAPartitionDataset
+from vqacl_tpu.data.tokenizer import VLT5Tokenizer
+from vqacl_tpu.evaluation.vqa_acc import VQAEvaluator
+
+_Q_WORDS = ["what", "where", "is", "why", "how many", "doing",
+            "color", "kind", "sub type", "because"]
+
+
+class SyntheticDataModule:
+    def __init__(self, tokenizer: VLT5Tokenizer,
+                 tasks: Sequence[str] = ALL_TASKS,
+                 n_train_per_task: int = 100, n_val_per_task: int = 20,
+                 n_test_per_task: int = 20, feat_dim: int = 2048,
+                 n_boxes: int = 36, n_categories: int = 80,
+                 answer_vocab: int = 8, seed: int = 0):
+        self.tok = tokenizer
+        self.tasks = list(tasks)
+        self.feat_dim = feat_dim
+        self.n_boxes = n_boxes
+        rng = np.random.default_rng(seed)
+        self._centroids = rng.normal(
+            size=(n_categories, feat_dim)).astype(np.float32)
+        self.features = MemoryFeatureStore()
+        self.cate_map: Dict[str, int] = {}
+        self.ques_map: Dict[str, int] = {}
+        self._items: Dict[str, Dict[str, List[dict]]] = {}
+
+        qid = 0
+        img = 0
+        for t_idx, task in enumerate(self.tasks):
+            per_split = {"train": n_train_per_task, "val": n_val_per_task,
+                         "test": n_test_per_task}
+            self._items[task] = {}
+            for split, n in per_split.items():
+                items = []
+                for _ in range(n):
+                    c = int(rng.integers(0, n_categories))
+                    # answer determined by the image category (appears in
+                    # both the features and the question text) so the
+                    # mapping is task-agnostic and learnably easy
+                    ans = f"ans{c % answer_vocab}"
+                    img_id = f"synt_{img}"
+                    img += 1
+                    feats = (self._centroids[c][None] + 0.3 * rng.normal(
+                        size=(n_boxes, feat_dim))).astype(np.float32)
+                    x1y1 = rng.uniform(0, 0.5, size=(n_boxes, 2))
+                    wh = rng.uniform(0.1, 0.5, size=(n_boxes, 2))
+                    boxes = np.concatenate(
+                        [x1y1, np.clip(x1y1 + wh, 0, 1)], axis=1
+                    ).astype(np.float32)
+                    self.features.put(img_id, feats, boxes)
+                    self.cate_map[img_id] = c
+                    self.ques_map[str(qid)] = t_idx
+                    items.append({
+                        "img_id": img_id,
+                        "question_id": qid,
+                        "sent": f"{_Q_WORDS[t_idx % len(_Q_WORDS)]} is the "
+                                f"object category {c}",
+                        "label": {ans: 1.0},
+                        "answers": [{"answer": ans}] * 10,
+                        "question_type": task,
+                        "answer_type": "other",
+                    })
+                    qid += 1
+                self._items[task][split] = items
+
+    # ---- DataModule interface -------------------------------------------
+    def train_items(self, task: str) -> List[dict]:
+        return self._items[task]["train"]
+
+    def make_dataset(self, items: Sequence[dict], mode: str = "train",
+                     task_idx: Optional[int] = None) -> VQAPartitionDataset:
+        return VQAPartitionDataset(
+            items, self.tok, self.features, self.ques_map, self.cate_map,
+            mode=mode, task_idx=task_idx)
+
+    def dataset(self, task: str, split: str,
+                task_idx: Optional[int] = None) -> VQAPartitionDataset:
+        mode = "train" if split == "train" else "val"
+        return self.make_dataset(self._items[task][split], mode=mode,
+                                 task_idx=task_idx)
+
+    def evaluator(self, task: str, loader=None):
+        id2datum, id2datum_gt = {}, {}
+        for split_items in self._items[task].values():
+            for d in split_items:
+                id2datum[d["question_id"]] = d
+                id2datum_gt[d["question_id"]] = {
+                    "answers": d["answers"],
+                    "question_type": d["question_type"],
+                    "answer_type": d["answer_type"],
+                }
+        ev = VQAEvaluator(id2datum=id2datum, id2datum_gt=id2datum_gt)
+
+        def score(quesid2ans):
+            out = ev.evaluate_raw(quesid2ans)
+            out["topk_score"] = ev.evaluate(quesid2ans)
+            return out
+
+        return score

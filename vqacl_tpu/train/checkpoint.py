@@ -1,0 +1,70 @@
+"""Checkpoint save/load: params + prototype banks + step, one artifact.
+
+The reference splits state across ``{task}_LAST.pth`` (model only,
+trainer_base.py:246-249) and loose ``Q_prototype.pt``/``V_prototype.pt``
+files (vqacl.py:420-426) that are silently lost on resume if forgotten
+(SURVEY.md §5). Here the full train-relevant state serializes to a
+single ``.npz`` (flattened pytree paths → arrays) — fast, portable,
+no torch/pickle. Reference ``.pth`` checkpoints can still be ingested
+through ``vqacl_tpu.models.hf_import.from_state_dict``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from vqacl_tpu.models.prototype import ProtoState
+
+SEP = "::"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{SEP}{k}" if prefix else str(k)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split(SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_checkpoint(path: str, params: Any, proto: ProtoState,
+                    step: int = 0, extra: Dict[str, np.ndarray] | None = None
+                    ) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten({"params": params})
+    for value, name in zip(proto, proto._fields):
+        flat[f"proto{SEP}{name}"] = np.asarray(value)
+    flat["meta::step"] = np.asarray(step)
+    for k, v in (extra or {}).items():
+        flat[f"extra{SEP}{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str) -> Tuple[Any, ProtoState, int]:
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    z = np.load(path, allow_pickle=False)
+    flat = {k: z[k] for k in z.files}
+    params = _unflatten({k[len("params" + SEP):]: v for k, v in flat.items()
+                         if k.startswith("params" + SEP)})
+    proto_fields = {k[len("proto" + SEP):]: v for k, v in flat.items()
+                    if k.startswith("proto" + SEP)}
+    proto = ProtoState(**{name: proto_fields[name]
+                          for name in ProtoState._fields})
+    step = int(flat.get("meta::step", np.asarray(0)))
+    return params, proto, step

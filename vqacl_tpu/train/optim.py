@@ -64,6 +64,47 @@ def make_schedule(lr: float, t_total: int, warmup_ratio: float,
     raise ValueError(kind)
 
 
+def dynamic_lr(step: jnp.ndarray, sched: jnp.ndarray, lr: float,
+               kind: str = "constant_warmup") -> jnp.ndarray:
+    """Schedule with TRACED (warmup_iters, t_total) = ``sched``.
+
+    The CL loop resets the schedule per (task × group) with a different
+    t_total (trainer_base.py:137-145 via vqacl.py:324-335). Baking those
+    into the jaxpr would force ~50 recompiles per run; carrying them in
+    the train state keeps ONE compiled train step for the whole
+    benchmark.
+    """
+    warmup = jnp.maximum(sched[0], 1.0)
+    t_total = jnp.maximum(sched[1], 1.0)
+    wu = jnp.minimum(1.0, (step + 1.0) / warmup)
+    if kind == "constant_warmup":
+        return lr * wu
+    if kind == "linear_warmup":
+        decay = jnp.clip((t_total - step) / jnp.maximum(1.0, t_total - warmup),
+                         0.0, 1.0)
+        return lr * jnp.where(step < warmup, wu, decay)
+    raise ValueError(kind)
+
+
+def make_transform(cfg_train, with_clip: bool = True
+                   ) -> optax.GradientTransformation:
+    """LR-less AdamW direction: clip → Adam moments (bias-corrected) →
+    decoupled weight decay (masked) [→ freeze mask]. The train step
+    multiplies by ``dynamic_lr`` and subtracts, which is exactly torch
+    AdamW's  p ← p - lr·(m̂/(√v̂+ε) + wd·p)."""
+    parts = []
+    if with_clip:
+        parts.append(optax.clip_by_global_norm(cfg_train.clip_grad_norm))
+    parts.append(optax.scale_by_adam(
+        b1=cfg_train.adam_beta1, b2=cfg_train.adam_beta2,
+        eps=cfg_train.adam_eps))
+    parts.append(optax.add_decayed_weights(cfg_train.weight_decay,
+                                           mask=decay_mask))
+    if cfg_train.freeze:
+        parts.append(_apply_mask(freeze_mask))
+    return optax.chain(*parts)
+
+
 def make_optimizer(cfg_train, params: Any, t_total: int
                    ) -> optax.GradientTransformation:
     sched = make_schedule(cfg_train.lr, t_total, cfg_train.warmup_ratio,

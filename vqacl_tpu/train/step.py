@@ -24,6 +24,7 @@ import optax
 
 from vqacl_tpu.models import vlt5
 from vqacl_tpu.models.generate import greedy_decode
+from vqacl_tpu.train.optim import dynamic_lr
 from vqacl_tpu.train.state import TrainState
 
 
@@ -60,14 +61,20 @@ def make_train_step(cfg, tx: optax.GradientTransformation,
         rng, step_rng = jax.random.split(state.rng)
         (loss, (proto, aux)), grads = grad_fn(
             state.params, state.proto, batch, step_rng)
+        # LR-less AdamW direction, then dynamic schedule (see optim.py)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        lr = dynamic_lr(state.step.astype(jnp.float32), state.sched,
+                        tcfg.lr, tcfg.schedule)
+        params = jax.tree.map(lambda p, u: p - lr * u,
+                              state.params, updates)
         gnorm = optax.global_norm(grads)
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, proto=proto, rng=rng)
+                               opt_state=opt_state, proto=proto, rng=rng,
+                               sched=state.sched)
         metrics = {
             "loss": loss,
             "grad_norm": gnorm,
+            "lr": lr,
             "loss_memory_Q": aux.loss_memory_q,
             "loss_memory_V": aux.loss_memory_v,
             "retrieval_acc_Q": aux.retrieval_acc_q,
