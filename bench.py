@@ -24,9 +24,16 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: first bench run pays the t5-base
+# compile (~minutes over the tunneled chip), subsequent runs start hot
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 A100_BASELINE_PAIRS_PER_SEC = 1000.0
 

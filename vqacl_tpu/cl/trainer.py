@@ -36,7 +36,7 @@ import numpy as np
 
 from vqacl_tpu.cl.exemplar import ExemplarBuffer
 from vqacl_tpu.cl.metrics import ResultMatrix, evaluate_metric
-from vqacl_tpu.cl.tasks import make_rng, random_dic
+from vqacl_tpu.cl.tasks import CATEGORY_SPLITS, make_rng, random_dic
 from vqacl_tpu.data.partition import BatchLoader, group_loaders, all_loader
 from vqacl_tpu.models.prototype import ProtoState
 from vqacl_tpu.models.vlt5 import init_vlt5_params
@@ -90,7 +90,9 @@ class VQACLTrainer:
         self._train_step_cache: Dict[Any, Any] = {}
         self.eval_step = make_eval_step(cfg, dtype=self.dtype)
 
-        self.buffer = ExemplarBuffer(cfg.train.m_size)
+        # NExT-QA swaps in its G0..G4 video-category groups
+        self.splits = getattr(data, "category_splits", CATEGORY_SPLITS)
+        self.buffer = ExemplarBuffer(cfg.train.m_size, splits=self.splits)
         self.result_matrix = ResultMatrix(self.tasks)
         self.py_rng = make_rng(cfg.train.seed)
         self.task_total_num: Dict[int, int] = {}
@@ -175,14 +177,17 @@ class VQACLTrainer:
         vbs = cfg.train.valid_batch_size
         train_loaders = group_loaders(train_ds, bs, shuffle=True,
                                       seed=cfg.train.seed,
-                                      collate_kw=self._ck())
+                                      collate_kw=self._ck(),
+                                      splits=self.splits)
         val_loaders = group_loaders(val_ds, vbs, shuffle=False,
-                                    with_targets=True, collate_kw=self._ck())
+                                    with_targets=True, collate_kw=self._ck(),
+                                    splits=self.splits)
         mem_ds = self.data.make_dataset(mem_items, mode="train",
                                         task_idx=task_idx)
         mem_loaders = group_loaders(mem_ds, bs, shuffle=True,
                                     seed=cfg.train.seed + 7,
-                                    collate_kw=self._ck())
+                                    collate_kw=self._ck(),
+                                    splits=self.splits)
         self.test_loader_dict_all[task] = all_loader(
             test_ds_all, vbs, with_targets=False, collate_kw=self._ck())
 

@@ -201,9 +201,12 @@ class BatchLoader:
 
 def group_loaders(dataset: VQAPartitionDataset, batch_size: int,
                   shuffle: bool = True, seed: int = 0,
-                  with_targets: bool = True, **kw) -> Dict[str, BatchLoader]:
-    """{G1..G5: BatchLoader} (get_loader, vqa_data_memory.py:858-912)."""
-    groups = split_by_group(dataset)
+                  with_targets: bool = True,
+                  splits: Mapping[str, List[int]] = CATEGORY_SPLITS,
+                  **kw) -> Dict[str, BatchLoader]:
+    """{G1..G5: BatchLoader} (get_loader, vqa_data_memory.py:858-912).
+    ``splits`` swaps in the NExT-QA G0..G4 video-category groups."""
+    groups = split_by_group(dataset, splits)
     return {g: BatchLoader(dataset, idx, batch_size, shuffle=shuffle,
                            seed=seed, with_targets=with_targets, **kw)
             for g, idx in groups.items()}

@@ -1,0 +1,106 @@
+"""WUPS scoring for NExT-QA open-ended answers.
+
+The reference imports ``get_wups`` from a ``metrix.py`` that is ABSENT
+from the repo (/root/reference/VL-T5/nextqa/nextqa_data.py:21 — SURVEY
+§2.5), so this is a reimplementation from the published definition
+(Malinowski & Fritz, NeurIPS 2014; as used by NExT-QA's official
+eval_oe): for token sets A (prediction) and T (ground truth),
+
+  WUPS(A,T) = min( ∏_{a∈A} max_{t∈T} WUP'(a,t),
+                   ∏_{t∈T} max_{a∈A} WUP'(a,t) )
+
+where WUP'(a,t) = max WordNet Wu-Palmer similarity over the words'
+synsets, down-weighted ×0.1 when below the threshold (NExT-QA uses
+threshold 0.0 → no down-weighting, ``get_wups(..., 0)`` at
+nextqa_data.py:999-1008).
+
+WordNet corpora may be absent (offline images); then a degraded
+similarity (exact-token match) keeps the pipeline runnable and the
+limitation is surfaced via ``wordnet_available()``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+_WN = None
+_WN_CHECKED = False
+
+
+def wordnet_available() -> bool:
+    global _WN, _WN_CHECKED
+    if not _WN_CHECKED:
+        _WN_CHECKED = True
+        try:
+            from nltk.corpus import wordnet
+            wordnet.synsets("dog")   # force-load; raises if corpus absent
+            _WN = wordnet
+        except Exception:
+            _WN = None
+    return _WN is not None
+
+
+@functools.lru_cache(maxsize=65536)
+def word_similarity(a: str, b: str) -> float:
+    """Max Wu-Palmer similarity over synset pairs; exact-match fallback."""
+    if a == b:
+        return 1.0
+    if not wordnet_available():
+        return 0.0
+    sa = _WN.synsets(a)
+    sb = _WN.synsets(b)
+    best = 0.0
+    for x in sa:
+        for y in sb:
+            s = x.wup_similarity(y)
+            if s is not None and s > best:
+                best = s
+    return best
+
+
+def _one_side(tokens_a: Sequence[str], tokens_b: Sequence[str],
+              thresh: float) -> float:
+    prod = 1.0
+    for a in tokens_a:
+        best = max((word_similarity(a, b) for b in tokens_b), default=0.0)
+        if best < thresh:
+            best *= 0.1
+        prod *= best
+    return prod
+
+
+def get_wups(pred: str, truth: str, thresh: float = 0.0) -> float:
+    """WUPS between two answer strings (already stopword-stripped by the
+    caller, matching nextqa_data.py:986-989)."""
+    a = pred.split()
+    t = truth.split()
+    if not a or not t:
+        return float(pred.strip() == truth.strip())
+    return min(_one_side(a, t, thresh), _one_side(t, a, thresh))
+
+
+# NLTK English stopwords snapshot (nextqa/stopwords.txt equivalent — the
+# reference ships the list as a data file, :53)
+STOPWORDS = frozenset("""
+i me my myself we our ours ourselves you you're you've you'll you'd your
+yours yourself yourselves he him his himself she she's her hers herself it
+it's its itself they them their theirs themselves what which who whom this
+that that'll these those am is are was were be been being have has had
+having do does did doing a an the and but if or because as until while of
+at by for with about against between into through during before after
+above below to from up down in out on off over under again further then
+once here there when where why how all any both each few more most other
+some such no nor not only own same so than too very s t can will just don
+don't should should've now d ll m o re ve y ain aren aren't couldn
+couldn't didn didn't doesn doesn't hadn hadn't hasn hasn't haven haven't
+isn isn't ma mightn mightn't mustn mustn't needn needn't shan shan't
+shouldn shouldn't wasn wasn't weren weren't won won't wouldn wouldn't
+""".split())
+
+
+def remove_stopwords(sentence: str) -> str:
+    """nextqa_data.py:942-947 (nltk tokenize + stopword filter); plain
+    split keeps it dependency-light — punctuation was already stripped
+    by the VQA normalizer before this runs."""
+    return " ".join(w for w in sentence.split() if w not in STOPWORDS)
