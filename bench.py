@@ -71,25 +71,30 @@ def main() -> None:
     train_step = make_train_step(cfg, tx, dtype=jnp.bfloat16)
     eval_step = make_eval_step(cfg, dtype=jnp.bfloat16)
 
+    # Timing note: on the tunneled 'axon' platform block_until_ready can
+    # return before execution completes, so every measured step ends with
+    # a small device→host transfer (the loss scalar / a token) which
+    # provably forces execution.
+
     # ---- train throughput ----
-    state, _ = train_step(state, batch)           # compile
-    jax.block_until_ready(state.params)
-    n_train = 20
+    state, mtr = train_step(state, batch)           # compile
+    float(mtr["loss"])
+    n_train = 30
     t0 = time.perf_counter()
     for _ in range(n_train):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(state.params)
+        loss_val = float(metrics["loss"])           # sync barrier
     dt_train = (time.perf_counter() - t0) / n_train
     rate_train = B / dt_train
 
     # ---- decode throughput ----
     toks = eval_step(state.params, state.proto, batch)   # compile
-    jax.block_until_ready(toks)
-    n_dec = 20
+    int(np.asarray(toks)[0, 0])
+    n_dec = 30
     t0 = time.perf_counter()
     for _ in range(n_dec):
         toks = eval_step(state.params, state.proto, batch)
-    jax.block_until_ready(toks)
+        _ = int(np.asarray(toks)[0, 0])             # sync barrier
     dt_dec = (time.perf_counter() - t0) / n_dec
     rate_dec = B / dt_dec
 
@@ -109,7 +114,7 @@ def main() -> None:
             "decode_step_ms": round(dt_dec * 1e3, 2),
             "batch_size": B,
             "n_chips": n_chips,
-            "loss": float(metrics["loss"]),
+            "loss": loss_val,
         },
     }))
 
