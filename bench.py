@@ -79,23 +79,25 @@ def main() -> None:
     # ---- train throughput ----
     state, mtr = train_step(state, batch)           # compile
     float(mtr["loss"])
-    n_train = 30
+    n_chunks, chunk = 4, 10
     t0 = time.perf_counter()
-    for _ in range(n_train):
-        state, metrics = train_step(state, batch)
-        loss_val = float(metrics["loss"])           # sync barrier
-    dt_train = (time.perf_counter() - t0) / n_train
+    for _ in range(n_chunks):
+        for _ in range(chunk):
+            state, metrics = train_step(state, batch)
+        loss_val = float(metrics["loss"])           # sync barrier,
+        # amortized over the chunk (per-step sync pays ~full tunnel RTT)
+    dt_train = (time.perf_counter() - t0) / (n_chunks * chunk)
     rate_train = B / dt_train
 
     # ---- decode throughput ----
     toks = eval_step(state.params, state.proto, batch)   # compile
     int(np.asarray(toks)[0, 0])
-    n_dec = 30
     t0 = time.perf_counter()
-    for _ in range(n_dec):
-        toks = eval_step(state.params, state.proto, batch)
+    for _ in range(n_chunks):
+        for _ in range(chunk):
+            toks = eval_step(state.params, state.proto, batch)
         _ = int(np.asarray(toks)[0, 0])             # sync barrier
-    dt_dec = (time.perf_counter() - t0) / n_dec
+    dt_dec = (time.perf_counter() - t0) / (n_chunks * chunk)
     rate_dec = B / dt_dec
 
     combined = 1.0 / (1.0 / rate_train + 1.0 / rate_dec)

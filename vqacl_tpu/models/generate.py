@@ -48,28 +48,30 @@ def _precompute_cross_kv(params: Params, cfg, enc_states: jnp.ndarray
 
 
 def _decoder_step(params: Params, cfg, x: jnp.ndarray, t: jnp.ndarray,
-                  cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                  cache: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...],
                   self_bias_row: jnp.ndarray,
                   cross_kv: List[Tuple[jnp.ndarray, jnp.ndarray]],
                   cross_bias: Optional[jnp.ndarray],
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                  ):
     """One decoder step over all layers.
 
-    x [B,1,D] current-token embedding; cache_k/v [n_layers,B,T,H,dk];
+    x [B,1,D] current-token embedding; cache = per-layer (k, v) arrays
+    [B,T,H,dk] — a pytree, so scan updates each layer's buffer in place
+    (donated carry) instead of copying a stacked all-layer cache;
     self_bias_row [1,H,1,T] combined causal+relative bias for query
-    position t. Returns (hidden [B,1,D], new cache_k, new cache_v).
+    position t. Returns (hidden [B,1,D], new cache).
     """
     B = x.shape[0]
     dt = x.dtype
+    new_cache = []
     for i in range(cfg.num_decoder_layers):
         p = params["decoder"][f"block_{i}"]
         h = t5.layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
         k_new = (h @ p["attn"]["wk"].astype(dt)).reshape(B, 1, cfg.num_heads, cfg.d_kv)
         v_new = (h @ p["attn"]["wv"].astype(dt)).reshape(B, 1, cfg.num_heads, cfg.d_kv)
-        ck = jax.lax.dynamic_update_slice(cache_k[i], k_new, (0, t, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cache_v[i], v_new, (0, t, 0, 0))
-        cache_k = cache_k.at[i].set(ck)
-        cache_v = cache_v.at[i].set(cv)
+        ck = jax.lax.dynamic_update_slice(cache[i][0], k_new, (0, t, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache[i][1], v_new, (0, t, 0, 0))
+        new_cache.append((ck, cv))
         a = t5.multihead_attention(p["attn"], h, None, None, self_bias_row,
                                    cfg.num_heads, cfg.d_kv,
                                    kv_proj=(ck, cv))
@@ -82,16 +84,23 @@ def _decoder_step(params: Params, cfg, x: jnp.ndarray, t: jnp.ndarray,
         h = t5.layer_norm(p["ln3"], x, cfg.layer_norm_epsilon)
         x = x + t5.mlp_apply(p["mlp"], h, cfg.feed_forward_proj)
     x = t5.layer_norm(params["decoder"]["final_ln"], x, cfg.layer_norm_epsilon)
-    return x, cache_k, cache_v
+    return x, tuple(new_cache)
 
 
 def greedy_decode(params: Params, cfg, enc_states: jnp.ndarray,
                   enc_mask: jnp.ndarray,
                   max_length: Optional[int] = None,
-                  dtype=jnp.bfloat16) -> jnp.ndarray:
+                  dtype=jnp.bfloat16,
+                  early_stop: bool = True) -> jnp.ndarray:
     """Greedy generation → token ids [B, max_length-1] (excludes the
     decoder start token, matching HF output minus position 0 which
     ``batch_decode(skip_special_tokens=True)`` strips anyway).
+
+    ``early_stop=True`` matches HF greedy search: the loop exits once
+    every sequence has emitted EOS (a ``lax.while_loop``; VQA answers
+    average 2-4 tokens, so this is the production path). ``False`` runs
+    the fixed-length ``lax.scan`` (deterministic step count — useful for
+    benchmarking worst case).
     """
     T = (max_length or cfg.gen_max_length) - 1  # steps after start token
     B, S, D = enc_states.shape
@@ -107,26 +116,48 @@ def greedy_decode(params: Params, cfg, enc_states: jnp.ndarray,
     full_bias = t5.attention_scores_bias(t5.causal_mask(T), pb)  # [1,H,T,T]
 
     n_l = cfg.num_decoder_layers
-    cache_k = jnp.zeros((n_l, B, T, cfg.num_heads, cfg.d_kv), dtype)
-    cache_v = jnp.zeros((n_l, B, T, cfg.num_heads, cfg.d_kv), dtype)
+    cache0 = tuple(
+        (jnp.zeros((B, T, cfg.num_heads, cfg.d_kv), dtype),
+         jnp.zeros((B, T, cfg.num_heads, cfg.d_kv), dtype))
+        for _ in range(n_l))
     tok0 = jnp.full((B,), cfg.decoder_start_token_id, jnp.int32)
     finished0 = jnp.zeros((B,), jnp.bool_)
 
-    # stack cross_kv into scannable pytree-friendly closure (static list ok)
-    def step(carry, t):
-        tok, finished, ck, cv = carry
+    def one_step(tok, finished, cache, t):
         x = t5.embed_tokens(params["shared"], tok[:, None], dtype)  # [B,1,D]
         bias_row = jax.lax.dynamic_slice(
             full_bias, (0, 0, t, 0), (1, full_bias.shape[1], 1, T))
-        h, ck, cv = _decoder_step(params, cfg, x, t, ck, cv, bias_row,
-                                  cross_kv, cross_bias)
+        h, cache = _decoder_step(params, cfg, x, t, cache, bias_row,
+                                 cross_kv, cross_bias)
         logits = t5.lm_logits(params["shared"], h, cfg.d_model,
                               cfg.tie_word_embeddings)[:, 0]       # [B,V]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         finished = finished | (nxt == cfg.eos_token_id)
-        return (nxt, finished, ck, cv), nxt
+        return nxt, finished, cache
 
-    (_, _, _, _), tokens = jax.lax.scan(
-        step, (tok0, finished0, cache_k, cache_v), jnp.arange(T))
+    if early_stop:
+        tokens0 = jnp.zeros((B, T), jnp.int32)  # pad-filled output
+
+        def cond(carry):
+            t, tok, finished, cache, out = carry
+            return (t < T) & ~jnp.all(finished)
+
+        def body(carry):
+            t, tok, finished, cache, out = carry
+            nxt, finished, cache = one_step(tok, finished, cache, t)
+            out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, t))
+            return t + 1, nxt, finished, cache, out
+
+        *_, tokens = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), tok0, finished0, cache0, tokens0))
+        return tokens
+
+    def step(carry, t):
+        tok, finished, cache = carry
+        nxt, finished, cache = one_step(tok, finished, cache, t)
+        return (nxt, finished, cache), nxt
+
+    (_, _, _), tokens = jax.lax.scan(
+        step, (tok0, finished0, cache0), jnp.arange(T))
     return tokens.T  # [B, T]
