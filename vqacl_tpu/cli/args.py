@@ -1,0 +1,121 @@
+"""argparse → Config bridge.
+
+Covers the behaviorally-live flags of the reference CLI
+(/root/reference/VL-T5/src/param.py:54-218; see SURVEY §5 for the live
+subset) with the same spellings, so reference launch commands translate
+1:1, plus the TPU-specific mesh/dtype knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Sequence
+
+from vqacl_tpu.utils.config import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("vqacl_tpu")
+    # data
+    p.add_argument("--dataset_root", default="datasets")
+    p.add_argument("--train", default="karpathy_train")
+    p.add_argument("--valid", default="karpathy_val")
+    p.add_argument("--test", default="karpathy_test")
+    p.add_argument("--train_topk", type=int, default=-1)
+    p.add_argument("--valid_topk", type=int, default=-1)
+    p.add_argument("--num_workers", type=int, default=4)
+    # model
+    p.add_argument("--backbone", default="t5-base")
+    p.add_argument("--tokenizer", default=None,
+                   help="path to spiece.model (fallback tokenizer if unset)")
+    p.add_argument("--n_boxes", type=int, default=36)
+    p.add_argument("--max_text_length", type=int, default=20)
+    p.add_argument("--gen_max_length", type=int, default=20)
+    p.add_argument("--use_vision", action="store_true", default=True)
+    p.add_argument("--use_vis_order_embedding", action="store_true",
+                   default=True)
+    p.add_argument("--use_vis_layer_norm", action="store_true", default=True)
+    p.add_argument("--individual_vis_layer_norm", action="store_true",
+                   default=True)
+    # training
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--adam_eps", type=float, default=1e-6)
+    p.add_argument("--clip_grad_norm", type=float, default=5.0)
+    p.add_argument("--batch_size", type=int, default=80)
+    p.add_argument("--valid_batch_size", type=int, default=100)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--seed", type=int, default=66666)
+    p.add_argument("--from_scratch", action="store_true")
+    p.add_argument("--freeze", action="store_true")
+    # continual learning
+    p.add_argument("--memory", action="store_true")
+    p.add_argument("--m_size", type=int, default=5000)
+    p.add_argument("--comp_cate", default="G-1")
+    p.add_argument("--now_train", action="store_true")
+    p.add_argument("--checkpoint", default="None",
+                   help="task name to resume after")
+    p.add_argument("--proto_alpha", type=float, default=0.5)
+    p.add_argument("--proto_beta", type=float, default=0.5)
+    p.add_argument("--lambda_Q", type=float, default=0.05)
+    p.add_argument("--lambda_V", type=float, default=0.05)
+    p.add_argument("--lambda_Q_new", type=float, default=0.05)
+    p.add_argument("--lambda_V_new", type=float, default=0.05)
+    p.add_argument("--use_class_hierarchy", action="store_true", default=True)
+    # output
+    p.add_argument("--output", default="snap/vqacl")
+    # tpu
+    p.add_argument("--mesh_dp", type=int, default=-1)
+    p.add_argument("--mesh_tp", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true")
+    return p
+
+
+def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
+    args = build_parser().parse_args(argv)
+    cfg = Config()
+    m, t, me, d = cfg.model, cfg.train, cfg.mesh, cfg.data
+    m.n_boxes = args.n_boxes
+    m.max_text_length = args.max_text_length
+    m.gen_max_length = args.gen_max_length
+    m.use_vis_order_embedding = args.use_vis_order_embedding
+    m.use_vis_layer_norm = args.use_vis_layer_norm
+    m.individual_vis_layer_norm = args.individual_vis_layer_norm
+    t.lr = args.lr
+    t.warmup_ratio = args.warmup_ratio
+    t.weight_decay = args.weight_decay
+    t.adam_eps = args.adam_eps
+    t.clip_grad_norm = args.clip_grad_norm
+    t.batch_size = args.batch_size
+    t.valid_batch_size = args.valid_batch_size
+    t.epochs = args.epochs
+    t.seed = args.seed
+    t.from_scratch = args.from_scratch
+    t.freeze = args.freeze
+    t.memory = args.memory
+    t.m_size = args.m_size
+    t.comp_cate = args.comp_cate
+    t.proto_alpha = args.proto_alpha
+    t.proto_beta = args.proto_beta
+    t.lambda_Q = args.lambda_Q
+    t.lambda_V = args.lambda_V
+    t.lambda_Q_new = args.lambda_Q_new
+    t.lambda_V_new = args.lambda_V_new
+    me.dp = args.mesh_dp
+    me.tp = args.mesh_tp
+    me.dtype = args.dtype
+    me.remat = args.remat
+    d.dataset_root = args.dataset_root
+    d.train_split = args.train
+    d.valid_split = args.valid
+    d.test_split = args.test
+    d.train_topk = args.train_topk
+    d.valid_topk = args.valid_topk
+    d.n_workers = args.num_workers
+    cfg.output = args.output
+    cfg.backbone = args.backbone
+    cfg._cli = args  # stash for entry points
+    return cfg

@@ -1,0 +1,74 @@
+"""Offline region-feature extraction entry point.
+
+Reference: feature_extraction/coco_proposal.py (+ the other per-dataset
+drivers) writing ``*_obj36.h5``. Here the whole per-image pipeline is
+one jit-compiled TPU program (vision/frcnn.py); output is either the
+reference h5 schema or the native pack.
+
+    python -m vqacl_tpu.cli.extract_features \
+        --images /path/to/val2014 --out datasets/COCO/features/val2014_obj36.h5 \
+        --weights frcnn_vg.npz [--pack]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Iterator, Tuple
+
+import numpy as np
+
+
+def iter_images(image_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
+    from PIL import Image
+    for name in sorted(os.listdir(image_dir)):
+        if not name.lower().endswith((".jpg", ".jpeg", ".png")):
+            continue
+        img_id = os.path.splitext(name)[0]
+        rgb = np.asarray(Image.open(
+            os.path.join(image_dir, name)).convert("RGB"))
+        yield img_id, rgb[:, :, ::-1]  # BGR, caffe convention
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--weights", default=None,
+                   help="npz of converted detector weights (random if unset)")
+    p.add_argument("--n_boxes", type=int, default=36)
+    p.add_argument("--pack", action="store_true",
+                   help="write native .vfpack instead of h5")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from vqacl_tpu.vision import frcnn
+    from vqacl_tpu.vision.convert_weights import load_npz_params
+
+    if args.weights:
+        params = load_npz_params(args.weights)
+    else:
+        print("WARNING: no --weights given; using random detector weights")
+        params = frcnn.init_frcnn(jax.random.PRNGKey(0))
+
+    def records():
+        for img_id, bgr in iter_images(args.images):
+            rec = frcnn.extract_image(params, bgr, n_boxes=args.n_boxes)
+            yield img_id, rec
+
+    if args.pack:
+        from vqacl_tpu.data.packed_cache import write_pack
+        write_pack(args.out,
+                   ((i, r["features"], r["boxes"], r["img_h"], r["img_w"])
+                    for i, r in records()),
+                   n_boxes=args.n_boxes)
+    else:
+        from vqacl_tpu.data.features import write_h5
+        write_h5(args.out, records())
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

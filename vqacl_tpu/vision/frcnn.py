@@ -123,6 +123,27 @@ def extract_regions(params: Params, image: jnp.ndarray,
                    valid=valid & prop_valid[idx])
 
 
+@functools.partial(jax.jit, static_argnames=())
+def extract_given_boxes(params: Params, image: jnp.ndarray,
+                        boxes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                     jnp.ndarray]:
+    """Features at caller-provided boxes (reference
+    feature_extraction/detectron2_given_box_maxnms.py: RoI features at
+    GT boxes, no RPN/NMS). boxes [R,4] in image pixels →
+    (features [R,2048], obj_id [R], obj_conf [R])."""
+    x = (image - jnp.asarray(PIXEL_MEAN_BGR))[None]
+    feat = resnet.backbone_c4(params["backbone"], x)
+    roi = roi_align(jnp.transpose(feat[0], (2, 0, 1)), boxes,
+                    spatial_scale=1.0 / rpn.STRIDE, output_size=(14, 14),
+                    sampling_ratio=2, aligned=False)
+    roi = jnp.transpose(roi, (0, 2, 3, 1))
+    r5 = resnet.res5_head(params["backbone"], roi)
+    pooled = r5.mean(axis=(1, 2))
+    h = params["heads"]
+    probs = jax.nn.softmax(pooled @ h["cls_w"] + h["cls_b"], axis=-1)
+    return pooled, probs[:, 1:].argmax(axis=1) + 1, probs[:, 1:].max(axis=1)
+
+
 # ---------------------------------------------------------------------------
 # host-side driver (resize / pad / h5 write)
 # ---------------------------------------------------------------------------
