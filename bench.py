@@ -66,7 +66,8 @@ def main() -> None:
     params = init_vlt5_params(jax.random.PRNGKey(0), m)
     tx = make_transform(cfg.train)
     proto = ProtoState.create(m.n_ques_types, m.n_categories, m.d_model)
-    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1),
+    state = TrainState.create(params, tx, proto,
+                              jax.random.key(1, impl="rbg"),
                               warmup_iters=100.0, t_total=1000.0)
     train_step = make_train_step(cfg, tx, dtype=jnp.bfloat16)
     eval_step = make_eval_step(cfg, dtype=jnp.bfloat16)

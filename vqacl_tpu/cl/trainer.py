@@ -83,8 +83,11 @@ class VQACLTrainer:
         # LR-less transform (dynamic schedule lives in state.sched), so
         # per-group optimizer resets never trigger a recompile
         self._tx = make_transform(cfg.train)
+        # rbg PRNG: TPU-native hardware RNG for dropout masks — threefry
+        # costs ~28ms/step on t5-base at bs80, rbg ~6ms
         state = TrainState.create(params, self._tx, proto,
-                                  jax.random.PRNGKey(cfg.train.seed + 1))
+                                  jax.random.key(cfg.train.seed + 1,
+                                                 impl="rbg"))
         self.state = replicate(self.ctx, state)
 
         self._train_step_cache: Dict[Any, Any] = {}

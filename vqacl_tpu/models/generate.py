@@ -161,3 +161,90 @@ def greedy_decode(params: Params, cfg, enc_states: jnp.ndarray,
     (_, _, _), tokens = jax.lax.scan(
         step, (tok0, finished0, cache0), jnp.arange(T))
     return tokens.T  # [B, T]
+
+
+def beam_search(params: Params, cfg, enc_states: jnp.ndarray,
+                enc_mask: jnp.ndarray,
+                num_beams: int = 5,
+                max_length: Optional[int] = None,
+                length_penalty: float = 1.0,
+                dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Batched beam search → token ids [B, max_length-1] (best beam).
+
+    Extension beyond the reference eval path: the reference parses
+    ``--num_beams`` but never forwards it, so its decoding is greedy
+    (SURVEY §2.5); greedy remains the parity path. Standard seq2seq
+    beam search: K beams per item flattened into the batch, KV cache
+    reordered by parent-beam gather each step, finished beams frozen
+    with score normalized by ``length**length_penalty`` at selection.
+    """
+    T = (max_length or cfg.gen_max_length) - 1
+    B, S, D = enc_states.shape
+    K = num_beams
+    V = cfg.vocab_size
+    NEG = -1e9
+
+    # expand encoder state per beam: [B*K, S, D]
+    enc = jnp.repeat(enc_states.astype(dtype), K, axis=0)
+    msk = jnp.repeat(enc_mask, K, axis=0)
+    cross_kv = _precompute_cross_kv(params, cfg, enc)
+    cross_bias = t5.attention_scores_bias(msk[:, None, None, :], None)
+
+    pb = t5.compute_position_bias(
+        params["decoder"]["rel_bias"], T, T, bidirectional=False,
+        num_buckets=cfg.relative_attention_num_buckets,
+        max_distance=cfg.relative_attention_max_distance)
+    full_bias = t5.attention_scores_bias(t5.causal_mask(T), pb)
+
+    cache0 = tuple(
+        (jnp.zeros((B * K, T, cfg.num_heads, cfg.d_kv), dtype),
+         jnp.zeros((B * K, T, cfg.num_heads, cfg.d_kv), dtype))
+        for _ in range(cfg.num_decoder_layers))
+    tok0 = jnp.full((B * K,), cfg.decoder_start_token_id, jnp.int32)
+    # only beam 0 alive initially (standard trick: others at -inf)
+    scores0 = jnp.tile(jnp.asarray([0.0] + [NEG] * (K - 1)), (B,))  # [B*K]
+    finished0 = jnp.zeros((B * K,), jnp.bool_)
+    seqs0 = jnp.zeros((B * K, T), jnp.int32)
+
+    def step(carry, t):
+        tok, scores, finished, cache, seqs = carry
+        x = t5.embed_tokens(params["shared"], tok[:, None], dtype)
+        bias_row = jax.lax.dynamic_slice(
+            full_bias, (0, 0, t, 0), (1, full_bias.shape[1], 1, T))
+        h, cache = _decoder_step(params, cfg, x, t, cache, bias_row,
+                                 cross_kv, cross_bias)
+        logits = t5.lm_logits(params["shared"], h, cfg.d_model,
+                              cfg.tie_word_embeddings)[:, 0]     # [B*K,V]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        # finished beams: only pad continuation, zero added score
+        pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
+        logp = jnp.where(finished[:, None], pad_only[None], logp)
+
+        cand = scores[:, None] + logp                            # [B*K,V]
+        cand = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(cand, K)             # [B,K]
+        parent = top_idx // V                                    # beam idx
+        token = (top_idx % V).astype(jnp.int32)
+
+        flat_parent = (parent
+                       + jnp.arange(B)[:, None] * K).reshape(-1)  # [B*K]
+        # reorder everything by parent beam
+        seqs = seqs[flat_parent]
+        seqs = jax.lax.dynamic_update_slice(
+            seqs, token.reshape(-1, 1), (0, t))
+        cache = tuple((k[flat_parent], v[flat_parent]) for k, v in cache)
+        new_finished = finished[flat_parent] | \
+            (token.reshape(-1) == cfg.eos_token_id)
+        return (token.reshape(-1), top_scores.reshape(-1),
+                new_finished, cache, seqs), None
+
+    (tok, scores, finished, cache, seqs), _ = jax.lax.scan(
+        step, (tok0, scores0, finished0, cache0, seqs0), jnp.arange(T))
+
+    # select best beam per item by length-normalized score
+    seqs = seqs.reshape(B, K, T)
+    lengths = jnp.sum((seqs != cfg.pad_token_id).astype(jnp.float32),
+                      axis=-1)                                  # [B,K]
+    norm = scores.reshape(B, K) / jnp.maximum(lengths, 1.0) ** length_penalty
+    best = jnp.argmax(norm, axis=-1)                             # [B]
+    return seqs[jnp.arange(B), best]
