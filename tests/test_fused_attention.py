@@ -1,0 +1,92 @@
+"""Pallas fused attention vs einsum reference — forward and gradients.
+
+Runs in interpret mode on CPU; the same kernel compiles on TPU (the
+bench exercises that path).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqacl_tpu.ops.fused_attention import fused_encoder_attention
+
+
+def reference_attention(q, k, v, pos_bias, mask):
+    """Unscaled T5 attention, f32 softmax (t5.multihead_attention)."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s + pos_bias[None] + (1.0 - mask[:, None, None, :]) * -1e9
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                   preferred_element_type=jnp.float32)
+    B, S, H, dk = q.shape
+    return o.astype(q.dtype).reshape(B, S, H * dk)
+
+
+@pytest.fixture
+def data(rng):
+    B, S, H, dk = 3, 58, 4, 16
+    q = rng.normal(size=(B, S, H, dk)).astype(np.float32)
+    k = rng.normal(size=(B, S, H, dk)).astype(np.float32)
+    v = rng.normal(size=(B, S, H, dk)).astype(np.float32)
+    bias = rng.normal(size=(H, S, S)).astype(np.float32)
+    mask = np.ones((B, S), np.float32)
+    mask[0, 50:] = 0.0
+    mask[2, 20:] = 0.0
+    return map(jnp.asarray, (q, k, v, bias, mask))
+
+
+def test_forward_matches_reference(data):
+    q, k, v, bias, mask = data
+    ours = fused_encoder_attention(q, k, v, bias, mask, interpret=True)
+    ref = reference_attention(q, k, v, bias, mask)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_reference(data):
+    q, k, v, bias, mask = data
+
+    def loss_fused(q, k, v, bias):
+        o = fused_encoder_attention(q, k, v, bias, mask, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v, bias):
+        o = reference_attention(q, k, v, bias, mask)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, name in zip(g1, g2, "qkv b"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad {name}")
+
+
+def test_encode_fused_matches_unfused():
+    """Full joint-encoder parity: fused Pallas path (interpret) vs the
+    einsum path, deterministic."""
+    from vqacl_tpu.data.synthetic import SyntheticVQA
+    from vqacl_tpu.models.vlt5 import encode, init_vlt5_params
+    from vqacl_tpu.utils.config import tiny_model_config
+
+    cfg = tiny_model_config(d_kv=16)
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg)
+    data = SyntheticVQA(4, seed=0, feat_dim=cfg.feat_dim,
+                        n_boxes=cfg.n_boxes, text_len=cfg.max_text_length,
+                        vocab_size=cfg.vocab_size, answer_vocab=8)
+    from vqacl_tpu.data.collate import collate
+    b = collate(data.examples, feat_dim=cfg.feat_dim, n_boxes=cfg.n_boxes,
+                max_text_length=cfg.max_text_length)["tensors"]
+    args = (params, cfg, jnp.asarray(b["input_ids"]),
+            jnp.asarray(b["vis_feats"]), jnp.asarray(b["boxes"]))
+    h_ref, m_ref = encode(*args, dtype=jnp.float32)
+    cfg.fused_attention = True
+    cfg.fused_interpret = True
+    h_fused, m_fused = encode(*args, dtype=jnp.float32)
+    cfg.fused_attention = False
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(m_fused), np.asarray(m_ref))

@@ -255,21 +255,72 @@ def encoder_block(p: Params, cfg, x: jnp.ndarray, bias: Optional[jnp.ndarray],
     return x + dropout(r[3], m, cfg.dropout_rate, deterministic)
 
 
+def encoder_block_fused(p: Params, cfg, x: jnp.ndarray,
+                        pos_bias: jnp.ndarray, mask: jnp.ndarray,
+                        seed: jnp.ndarray, interpret: bool = False,
+                        deterministic: bool = True, rng=None) -> jnp.ndarray:
+    """encoder_block with the Pallas fused-attention core (scores +
+    softmax + dropout + weighted sum in VMEM). pos_bias [H,S,S] f32,
+    mask [B,S]."""
+    from vqacl_tpu.ops.fused_attention import fused_encoder_attention
+
+    r = _split_rngs(rng, 3)
+    h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
+    dt = h.dtype
+    B, S, D = h.shape
+    q = (h @ p["attn"]["wq"].astype(dt)).reshape(B, S, cfg.num_heads, cfg.d_kv)
+    k = (h @ p["attn"]["wk"].astype(dt)).reshape(B, S, cfg.num_heads, cfg.d_kv)
+    v = (h @ p["attn"]["wv"].astype(dt)).reshape(B, S, cfg.num_heads, cfg.d_kv)
+    rate = 0.0 if deterministic else cfg.dropout_rate
+    a = fused_encoder_attention(q, k, v, pos_bias, mask,
+                                interpret=interpret, dropout_rate=rate,
+                                seed=seed)
+    a = a @ p["attn"]["wo"].astype(dt)
+    x = x + dropout(r[0], a, cfg.dropout_rate, deterministic)
+    h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
+    m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,
+                  deterministic, r[1])
+    return x + dropout(r[2], m, cfg.dropout_rate, deterministic)
+
+
 def encoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
                   position_bias: jnp.ndarray,
                   deterministic: bool = True, rng=None,
-                  remat: bool = False) -> jnp.ndarray:
-    """Encoder over precomputed embeddings with a caller-supplied combined
-    additive bias [B_or_1, heads, L, L] (position bias + mask)."""
+                  remat: bool = False,
+                  fused: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
+    """Encoder over precomputed embeddings.
+
+    Unfused: ``position_bias`` is the combined additive bias
+    [B_or_1, heads, L, L] (position bias + mask). Fused (``fused`` dict
+    with ``pos_bias`` [H,S,S] and ``mask`` [B,S], optional
+    ``interpret``): attention runs in the Pallas kernel.
+    """
     r = _split_rngs(rng, cfg.num_layers + 2)
     x = dropout(r[0], inputs_embeds, cfg.dropout_rate, deterministic)
-    block_fn = encoder_block
-    if remat:
-        block_fn = jax.checkpoint(
-            encoder_block, static_argnums=(1,), policy=None)
-    for i in range(cfg.num_layers):
-        x = block_fn(p[f"block_{i}"], cfg, x, position_bias,
-                     deterministic, r[i + 1])
+    if fused is not None:
+        if rng is not None:
+            seeds = jax.random.randint(
+                jax.random.fold_in(rng, 7), (cfg.num_layers,), 0, 2 ** 31 - 1,
+                dtype=jnp.int32)
+        else:
+            seeds = jnp.zeros((cfg.num_layers,), jnp.int32)
+        block_fn = encoder_block_fused
+        if remat:
+            block_fn = jax.checkpoint(encoder_block_fused,
+                                      static_argnums=(1, 6))
+        for i in range(cfg.num_layers):
+            x = block_fn(p[f"block_{i}"], cfg, x, fused["pos_bias"],
+                         fused["mask"], seeds[i:i + 1],
+                         fused.get("interpret", False),
+                         deterministic, r[i + 1])
+    else:
+        block_fn = encoder_block
+        if remat:
+            block_fn = jax.checkpoint(
+                encoder_block, static_argnums=(1,), policy=None)
+        for i in range(cfg.num_layers):
+            x = block_fn(p[f"block_{i}"], cfg, x, position_bias,
+                         deterministic, r[i + 1])
     x = layer_norm(p["final_ln"], x, cfg.layer_norm_epsilon)
     return dropout(r[-1], x, cfg.dropout_rate, deterministic)
 

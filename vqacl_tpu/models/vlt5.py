@@ -44,18 +44,22 @@ def init_vlt5_params(rng, cfg) -> Params:
 # encoder
 # ---------------------------------------------------------------------------
 
-def joint_position_bias(params: Params, cfg, L: int, V_L: int,
-                        enc_mask: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, L+V_L, L+V_L] additive bias: T5 relative bias on the
-    text-text block only, zeros elsewhere (modeling_t5_our.py:258-273),
-    plus the padding mask."""
+def joint_pos_bias(params: Params, cfg, L: int, V_L: int) -> jnp.ndarray:
+    """[1, H, L+V_L, L+V_L] f32: T5 relative bias on the text-text block
+    only, zeros elsewhere (modeling_t5_our.py:258-273)."""
     S = L + V_L
     text_bias = t5.compute_position_bias(
         params["encoder"]["rel_bias"], L, L, bidirectional=True,
         num_buckets=cfg.relative_attention_num_buckets,
         max_distance=cfg.relative_attention_max_distance)      # [1,H,L,L]
     bias = jnp.zeros((1, cfg.num_heads, S, S), jnp.float32)
-    bias = bias.at[:, :, :L, :L].set(text_bias)
+    return bias.at[:, :, :L, :L].set(text_bias)
+
+
+def joint_position_bias(params: Params, cfg, L: int, V_L: int,
+                        enc_mask: jnp.ndarray) -> jnp.ndarray:
+    """joint_pos_bias + padding mask as one additive term [B,H,S,S]."""
+    bias = joint_pos_bias(params, cfg, L, V_L)
     mask4 = enc_mask[:, None, None, :]                          # [B,1,1,S]
     return t5.attention_scores_bias(mask4, bias)
 
@@ -84,10 +88,18 @@ def encode(params: Params, cfg,
         dtype=dtype)
     inputs = jnp.concatenate([text_emb, vis_emb], axis=1)       # [B, S, D]
 
-    bias = joint_position_bias(params, cfg, L, N, enc_mask)
-    hidden = t5.encoder_stack(params["encoder"], cfg, inputs, bias,
-                              deterministic=deterministic, rng=rng,
-                              remat=remat)
+    if getattr(cfg, "fused_attention", False):
+        fused = {"pos_bias": joint_pos_bias(params, cfg, L, N)[0],
+                 "mask": enc_mask,
+                 "interpret": getattr(cfg, "fused_interpret", False)}
+        hidden = t5.encoder_stack(params["encoder"], cfg, inputs, None,
+                                  deterministic=deterministic, rng=rng,
+                                  remat=remat, fused=fused)
+    else:
+        bias = joint_position_bias(params, cfg, L, N, enc_mask)
+        hidden = t5.encoder_stack(params["encoder"], cfg, inputs, bias,
+                                  deterministic=deterministic, rng=rng,
+                                  remat=remat)
     return hidden, enc_mask
 
 

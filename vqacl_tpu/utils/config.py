@@ -61,6 +61,10 @@ class ModelConfig:
     n_categories: int = 80           # V prototype bank rows (COCO)
     use_prototype: bool = True
 
+    # --- TPU kernel options ---
+    fused_attention: bool = False    # Pallas fused encoder attention
+    fused_interpret: bool = False    # interpret mode (CPU tests)
+
     @property
     def encoder_len(self) -> int:
         return self.max_text_length + self.n_boxes
