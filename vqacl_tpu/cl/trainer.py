@@ -135,13 +135,26 @@ class VQACLTrainer:
         for task_idx in range(start_idx, len(self.tasks)):
             task = self.tasks[task_idx]
             self._log(f"======== task {task} ({task_idx}) ========")
-            self.train_task(task_idx, first_trained=(task_idx == start_idx))
+            try:
+                self.train_task(task_idx,
+                                first_trained=(task_idx == start_idx))
+            except BaseException:
+                # failure recovery beyond the reference (SURVEY §5: it has
+                # none): preserve state so --checkpoint <prev task> plus
+                # this emergency file lose at most the current task
+                save_checkpoint(
+                    os.path.join(self.cfg.output, f"{task}_EMERGENCY"),
+                    jax.device_get(self.state.params),
+                    jax.device_get(self.state.proto), int(self.state.step))
+                self._log(f"!! saved {task}_EMERGENCY before re-raising")
+                raise
 
             save_checkpoint(
                 os.path.join(self.cfg.output, f"{task}_LAST"),
                 jax.device_get(self.state.params),
                 jax.device_get(self.state.proto), int(self.state.step))
             self.test(task)
+            self._write_log()
 
         # prototype export for reference parity (vqacl.py:420-426)
         os.makedirs(self.cfg.output, exist_ok=True)
@@ -297,6 +310,19 @@ class VQACLTrainer:
         return evaluate_metric(self.result_matrix.to_dict())
 
     # ------------------------------------------------------------------
+    def _write_log(self) -> None:
+        """Structured jsonl training log (the reference's wandb calls are
+        all commented out upstream — SURVEY §5; this is the working
+        observability equivalent)."""
+        os.makedirs(self.cfg.output, exist_ok=True)
+        path = os.path.join(self.cfg.output, "train_log.jsonl")
+        with open(path, "w") as f:
+            for entry in self.metrics_log:
+                f.write(json.dumps(entry, default=float) + "\n")
+            f.write(json.dumps(
+                {"result_matrix": self.result_matrix.to_dict()},
+                default=float) + "\n")
+
     def _ck(self) -> Dict:
         m = self.cfg.model
         return dict(max_text_length=m.max_text_length, n_boxes=m.n_boxes,

@@ -208,6 +208,56 @@ def weighted_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# classifier head (working version of the reference's broken --classifier)
+# ---------------------------------------------------------------------------
+
+def init_classifier_head(rng, cfg, num_answers: int = 3129) -> Params:
+    """Answer-classification head over the top-k answer vocabulary.
+
+    The reference's ``--classifier`` branch references an undefined
+    ``self.answer_head`` (vqa_model.py:102 — SURVEY §2.5); this is the
+    working equivalent in VL-T5's original style: decoder start-token
+    hidden state → Linear(d, 2d) → GELU → LayerNorm → Linear(2d, A),
+    trained with BCE-with-logits over the soft VQA scores
+    (vqa_data_memory.py:224-229 builds those targets).
+    """
+    k1, k2 = jax.random.split(rng)
+    d = cfg.d_model
+    return {
+        "fc1_w": jax.random.normal(k1, (d, 2 * d)) * d ** -0.5,
+        "fc1_b": jnp.zeros((2 * d,)),
+        "ln": jnp.ones((2 * d,)),
+        "fc2_w": jax.random.normal(k2, (2 * d, num_answers)) * (2 * d) ** -0.5,
+        "fc2_b": jnp.zeros((num_answers,)),
+    }
+
+
+def classifier_logits(head: Params, cfg, params: Params,
+                      hidden: jnp.ndarray, enc_mask: jnp.ndarray,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """One decoder step from the start token → answer logits [B, A]
+    (test_step classifier branch semantics, vqa_model.py:81-108)."""
+    B = hidden.shape[0]
+    start = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
+    dec_emb = t5.embed_tokens(params["shared"], start, dtype)
+    seq = t5.decoder_stack(params["decoder"], cfg, dec_emb, hidden, enc_mask,
+                           deterministic=True)
+    h = seq[:, 0].astype(jnp.float32)                       # [B, d]
+    x = h @ head["fc1_w"] + head["fc1_b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = t5.layer_norm(head["ln"], x, cfg.layer_norm_epsilon)
+    return x @ head["fc2_w"] + head["fc2_b"]
+
+
+def classifier_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """BCEWithLogits over soft targets (vqa_model.py:16 ``bce_loss``)."""
+    logp = jax.nn.log_sigmoid(logits)
+    lognp = jax.nn.log_sigmoid(-logits)
+    return -jnp.mean(targets * logp + (1.0 - targets) * lognp)
+
+
+# ---------------------------------------------------------------------------
 # full train-time forward
 # ---------------------------------------------------------------------------
 
