@@ -59,7 +59,8 @@ class VQAPartitionDataset:
                  ques_map: Mapping[str, int], cate_map: Mapping[str, int],
                  max_text_length: int = 20, target_max_length: int = 10,
                  mode: str = "train", seed: int = 66666,
-                 task_idx: Optional[int] = None):
+                 task_idx: Optional[int] = None,
+                 answer_normalize: bool = False):
         self.data = list(data)
         self.tok = tokenizer
         self.features = feature_store
@@ -70,6 +71,7 @@ class VQAPartitionDataset:
         self.mode = mode
         self.rng = np.random.default_rng(seed)
         self.task_idx = task_idx
+        self.answer_normalize = answer_normalize
 
     def __len__(self) -> int:
         return len(self.data)
@@ -105,6 +107,10 @@ class VQAPartitionDataset:
             else:
                 choice = int(np.argmax(scores))
                 answer, score = answers[choice], float(scores[choice])
+            if self.answer_normalize and answer:
+                # --answer_normalize (vqa_data_memory.py:254-257)
+                from vqacl_tpu.evaluation.vqa_acc import normalize_answer
+                answer = normalize_answer(answer)
             ex["target_ids"] = self.tok.encode(answer, max_length=self.T)
             ex["score"] = score
             ex["answers"] = list(answers)

@@ -68,3 +68,39 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     """device_put params with tensor-parallel layout (replicated if tp=1)."""
     shardings = apply_rules(mesh, params)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def fsdp_rules(mesh: Mesh, params: Any, min_size: int = 1 << 14) -> Any:
+    """ZeRO-3-style layout: params (and therefore the Adam moments that
+    mirror them) shard over the ``dp`` axis too — GSPMD inserts the
+    all-gathers before use and reduce-scatters on the gradients. Beyond
+    the reference (SURVEY §2.4 calls it an optional bonus: t5-base fits
+    replicated), but it is what makes the same step scale to models
+    that don't.
+
+    Composes with the tp rules: tp-sharded dims keep their axis; the
+    remaining largest dp-divisible dim of each big tensor gets "dp".
+    """
+    import numpy as np
+
+    dp = mesh.shape["dp"]
+    paths = _tree_paths(params)
+
+    def spec_for(path: str, x) -> NamedSharding:
+        base = param_sharding_rules(path)
+        shape = np.shape(x)
+        if dp > 1 and np.prod(shape, dtype=np.int64) >= min_size:
+            axes = list(base) + [None] * (len(shape) - len(base))
+            order = sorted(range(len(shape)), key=lambda d: -shape[d])
+            for d in order:
+                if axes[d] is None and shape[d] % dp == 0:
+                    axes[d] = "dp"
+                    break
+            base = P(*axes)
+        return NamedSharding(mesh, base)
+
+    return jax.tree.map(spec_for, paths, params)
+
+
+def shard_params_fsdp(mesh: Mesh, params: Any) -> Any:
+    return jax.tree.map(jax.device_put, params, fsdp_rules(mesh, params))
