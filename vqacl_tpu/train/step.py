@@ -87,12 +87,17 @@ def make_train_step(cfg, tx: optax.GradientTransformation,
 
 def make_eval_step(cfg, dtype=jnp.bfloat16,
                    use_prototype: Optional[bool] = None,
-                   max_length: Optional[int] = None) -> Callable:
+                   max_length: Optional[int] = None,
+                   num_beams: int = 1) -> Callable:
     """Returns jitted ``(params, proto, batch) -> token_ids [B, T]``.
 
     Mirrors ``test_step`` (vqa_model.py:69-119): encoder once, prototype
-    retrieval WITHOUT update (modeling_t5_our.py:607-611), greedy decode.
+    retrieval WITHOUT update (modeling_t5_our.py:607-611), then greedy
+    decode (the reference's effective behavior — SURVEY §2.5) or beam
+    search when ``num_beams > 1``.
     """
+    from vqacl_tpu.models.generate import beam_search
+
     mcfg = cfg.model
     if use_prototype is None:
         use_prototype = mcfg.use_prototype
@@ -105,6 +110,10 @@ def make_eval_step(cfg, dtype=jnp.bfloat16,
             hidden, enc_mask, _, _ = vlt5.augment(
                 params, mcfg, hidden, enc_mask, proto,
                 proto_update_flag=False)
+        if num_beams > 1:
+            return beam_search(params, mcfg, hidden, enc_mask,
+                               num_beams=num_beams, max_length=max_length,
+                               dtype=dtype)
         return greedy_decode(params, mcfg, hidden, enc_mask,
                              max_length=max_length, dtype=dtype)
 
