@@ -21,3 +21,23 @@ Reference behavior citations in docstrings point into /root/reference
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax for metadata access)."""
+    api = {
+        "Config": ("vqacl_tpu.utils.config", "Config"),
+        "VQACLTrainer": ("vqacl_tpu.cl.trainer", "VQACLTrainer"),
+        "CompVQACLTrainer": ("vqacl_tpu.cl.comp_trainer", "CompVQACLTrainer"),
+        "VQADataModule": ("vqacl_tpu.data.vqa_module", "VQADataModule"),
+        "NextQADataModule": ("vqacl_tpu.nextqa.data", "NextQADataModule"),
+        "VLT5Tokenizer": ("vqacl_tpu.data.tokenizer", "VLT5Tokenizer"),
+        "VQAPredictor": ("vqacl_tpu.serve", "VQAPredictor"),
+        "VQAEvaluator": ("vqacl_tpu.evaluation.vqa_acc", "VQAEvaluator"),
+        "make_mesh": ("vqacl_tpu.parallel.mesh", "make_mesh"),
+    }
+    if name in api:
+        import importlib
+        module, attr = api[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'vqacl_tpu' has no attribute {name!r}")
