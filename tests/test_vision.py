@@ -99,3 +99,18 @@ def test_h5_roundtrip(tmp_path):
     feats, boxes = store.get("img_1")
     np.testing.assert_allclose(feats, rec["features"])
     assert boxes.min() >= 0 and boxes.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_extract_regions_batch_shapes():
+    """Batched extraction (vmap of the single-image impl) — structure
+    check; numerics are the single-image path's, already oracle-tested."""
+    params = frcnn.init_frcnn(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 255, (2, 96, 112, 3)).astype(np.float32)
+    hws = np.asarray([[96.0, 112.0], [80.0, 100.0]], np.float32)
+    rb = frcnn.extract_regions_batch(params, jnp.asarray(imgs),
+                                     jnp.asarray(hws), n_boxes=8)
+    assert rb.features.shape == (2, 8, 2048)
+    assert rb.boxes.shape == (2, 8, 4)
+    assert np.isfinite(np.asarray(rb.features)).all()

@@ -155,6 +155,10 @@ class VQACLTrainer:
                 jax.device_get(self.state.proto), int(self.state.step))
             self.test(task)
             self._write_log()
+            # task-boundary sync on multihost pods (SURVEY §5; no-op on
+            # one process)
+            from vqacl_tpu.parallel.multihost import barrier
+            barrier(f"task_{task}")
 
         # prototype export for reference parity (vqacl.py:420-426)
         os.makedirs(self.cfg.output, exist_ok=True)
@@ -298,6 +302,10 @@ class VQACLTrainer:
             acc = score.get("overall", 0.0)
             self.result_matrix.record(task, test_task, acc)
             self._log(f"   test[{task}→{test_task}] = {acc:.2f}")
+            # per-question/answer-type breakdown (vqacl.py:565-577)
+            for key in ("perQuestionType", "perAnswerType"):
+                if score.get(key):
+                    self._log(f"     {key}: {score[key]}")
 
     def Test(self) -> Dict:
         """Eval-only over the full sequence from saved per-task

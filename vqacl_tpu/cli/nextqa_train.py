@@ -42,7 +42,11 @@ def main(argv=None) -> None:
                                         "add_reference_answer_test.json"))
     ctx = make_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
     dtype = jnp.bfloat16 if cfg.mesh.dtype == "bfloat16" else jnp.float32
-    trainer = VQACLTrainer(cfg, data, tok, mesh_ctx=ctx, dtype=dtype)
+    # nextqa_CL.py also runs comp/noncomp tests per task (:420-423)
+    from vqacl_tpu.cl.comp_trainer import CompVQACLTrainer
+    cls = CompVQACLTrainer if cli.comp_cate not in ("G-1", None) \
+        else VQACLTrainer
+    trainer = cls(cfg, data, tok, mesh_ctx=ctx, dtype=dtype)
     if cli.now_train:
         resume = None if cli.checkpoint in ("None", None) else cli.checkpoint
         trainer.train(resume_task=resume)

@@ -137,3 +137,18 @@ def load_t5_base(cfg, name_or_path: str = "t5-base") -> Params:
     model = transformers.T5ForConditionalGeneration.from_pretrained(name_or_path)
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     return from_state_dict(sd, cfg)
+
+
+def load_reference_pth(path: str, cfg) -> Params:
+    """Ingest a reference-trained checkpoint (``{task}_LAST.pth``,
+    trainer_base.py:246-249): torch state_dict → pytree, with the
+    ``module.``/``vis_encoder.`` remaps applied."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "model" in sd and hasattr(
+            sd["model"], "items"):
+        sd = sd["model"]
+    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()
+          if hasattr(v, "detach")}
+    return from_state_dict(sd, cfg)

@@ -70,12 +70,12 @@ class Regions(NamedTuple):
     valid: jnp.ndarray      # [36]
 
 
-@functools.partial(jax.jit, static_argnames=("n_boxes",))
-def extract_regions(params: Params, image: jnp.ndarray,
-                    image_hw: jnp.ndarray, n_boxes: int = 36) -> Regions:
+def _extract_regions_impl(params: Params, image: jnp.ndarray,
+                          image_hw: jnp.ndarray, n_boxes: int = 36
+                          ) -> Regions:
     """image [H,W,3] BGR float (mean-subtracted outside or raw — caller
     normalizes), image_hw = true (unpadded) size. One image per call;
-    vmap/batch outside if desired."""
+    use ``extract_regions_batch`` for vmapped batches."""
     x = (image - jnp.asarray(PIXEL_MEAN_BGR))[None]          # [1,H,W,3]
     feat = resnet.backbone_c4(params["backbone"], x)          # [1,h,w,1024]
 
@@ -121,6 +121,20 @@ def extract_regions(params: Params, image: jnp.ndarray,
                    obj_id=sel_cls, obj_conf=sel_conf,
                    attr_id=attr_id, attr_conf=attr_conf,
                    valid=valid & prop_valid[idx])
+
+
+extract_regions = jax.jit(_extract_regions_impl,
+                          static_argnames=("n_boxes",))
+
+@functools.partial(jax.jit, static_argnames=("n_boxes",))
+def extract_regions_batch(params: Params, images: jnp.ndarray,
+                          image_hw: jnp.ndarray, n_boxes: int = 36
+                          ) -> Regions:
+    """Batched extraction for offline throughput: images [B,H,W,3]
+    padded to a shared bucket, per-image true sizes image_hw [B,2]."""
+    return jax.vmap(
+        lambda img, hw: _extract_regions_impl(params, img, hw, n_boxes)
+    )(images, image_hw)
 
 
 @functools.partial(jax.jit, static_argnames=())
