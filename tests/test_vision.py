@@ -110,7 +110,8 @@ def test_extract_regions_batch_shapes():
     imgs = rng.uniform(0, 255, (2, 96, 112, 3)).astype(np.float32)
     hws = np.asarray([[96.0, 112.0], [80.0, 100.0]], np.float32)
     rb = frcnn.extract_regions_batch(params, jnp.asarray(imgs),
-                                     jnp.asarray(hws), n_boxes=8)
+                                     jnp.asarray(hws), n_boxes=8,
+                                     n_proposals=50)
     assert rb.features.shape == (2, 8, 2048)
     assert rb.boxes.shape == (2, 8, 4)
     assert np.isfinite(np.asarray(rb.features)).all()

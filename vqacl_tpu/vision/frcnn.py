@@ -71,8 +71,8 @@ class Regions(NamedTuple):
 
 
 def _extract_regions_impl(params: Params, image: jnp.ndarray,
-                          image_hw: jnp.ndarray, n_boxes: int = 36
-                          ) -> Regions:
+                          image_hw: jnp.ndarray, n_boxes: int = 36,
+                          n_proposals: int = 300) -> Regions:
     """image [H,W,3] BGR float (mean-subtracted outside or raw — caller
     normalizes), image_hw = true (unpadded) size. One image per call;
     use ``extract_regions_batch`` for vmapped batches."""
@@ -83,7 +83,8 @@ def _extract_regions_impl(params: Params, image: jnp.ndarray,
     anchors = rpn.anchor_grid(feat.shape[1], feat.shape[2])
     boxes_all = rpn.decode_deltas(anchors, deltas[0])
     proposals, prop_valid = rpn.select_proposals(
-        logits[0], boxes_all, image_hw)                      # [300,4]
+        logits[0], boxes_all, image_hw,
+        post_nms_topk=n_proposals)                           # [300,4]
 
     # RoI features: RoIAlign 14×14 on C4 (stride 16) → res5 → mean pool
     roi = roi_align(jnp.transpose(feat[0], (2, 0, 1)), proposals,
@@ -124,16 +125,17 @@ def _extract_regions_impl(params: Params, image: jnp.ndarray,
 
 
 extract_regions = jax.jit(_extract_regions_impl,
-                          static_argnames=("n_boxes",))
+                          static_argnames=("n_boxes", "n_proposals"))
 
-@functools.partial(jax.jit, static_argnames=("n_boxes",))
+@functools.partial(jax.jit, static_argnames=("n_boxes", "n_proposals"))
 def extract_regions_batch(params: Params, images: jnp.ndarray,
-                          image_hw: jnp.ndarray, n_boxes: int = 36
-                          ) -> Regions:
+                          image_hw: jnp.ndarray, n_boxes: int = 36,
+                          n_proposals: int = 300) -> Regions:
     """Batched extraction for offline throughput: images [B,H,W,3]
     padded to a shared bucket, per-image true sizes image_hw [B,2]."""
     return jax.vmap(
-        lambda img, hw: _extract_regions_impl(params, img, hw, n_boxes)
+        lambda img, hw: _extract_regions_impl(params, img, hw, n_boxes,
+                                              n_proposals)
     )(images, image_hw)
 
 
