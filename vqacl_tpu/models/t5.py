@@ -307,7 +307,7 @@ def encoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
         block_fn = encoder_block_fused
         if remat:
             block_fn = jax.checkpoint(encoder_block_fused,
-                                      static_argnums=(1, 6))
+                                      static_argnums=(1, 6, 7))
         for i in range(cfg.num_layers):
             x = block_fn(p[f"block_{i}"], cfg, x, fused["pos_bias"],
                          fused["mask"], seeds[i:i + 1],
@@ -317,7 +317,7 @@ def encoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
         block_fn = encoder_block
         if remat:
             block_fn = jax.checkpoint(
-                encoder_block, static_argnums=(1,), policy=None)
+                encoder_block, static_argnums=(1, 4), policy=None)
         for i in range(cfg.num_layers):
             x = block_fn(p[f"block_{i}"], cfg, x, position_bias,
                          deterministic, r[i + 1])
@@ -378,7 +378,7 @@ def decoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
     x = dropout(r[0], inputs_embeds, cfg.dropout_rate, deterministic)
     block_fn = decoder_block
     if remat:
-        block_fn = jax.checkpoint(decoder_block, static_argnums=(1,))
+        block_fn = jax.checkpoint(decoder_block, static_argnums=(1, 6))
     for i in range(cfg.num_decoder_layers):
         x = block_fn(p[f"block_{i}"], cfg, x, self_bias, enc_states,
                      cross_bias, deterministic, r[i + 1])

@@ -18,6 +18,10 @@ verified in tests against the einsum reference, including in-kernel
 attention-prob dropout (deterministic per-(b,h) TPU PRNG streams,
 regenerated in the backward kernel).
 
+Note: in-kernel dropout uses the TPU hardware PRNG (``pltpu.prng_seed``)
+which has no CPU interpret-mode lowering — fused TRAINING (rate>0) is
+TPU-only; fused inference/deterministic paths run everywhere.
+
 MEASURED (v5e, t5-base geometry, bs 80): full train step 58.8 ms fused
 vs 55.8 ms unfused — at S=58 XLA already fuses the softmax chain well
 and the per-batch-element grid (80 × 12 unrolled 64×64 matmuls)
