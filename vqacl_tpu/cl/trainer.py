@@ -216,8 +216,8 @@ class VQACLTrainer:
 
         group_order = random_dic({g: None for g in train_loaders},
                                  self.py_rng)
-        use_mem_loss = cfg.train.memory and task_idx > 0 and \
-            cfg.model.use_prototype
+        use_mem_loss = cfg.train.use_memory_loss and cfg.train.memory \
+            and task_idx > 0 and cfg.model.use_prototype
 
         for group in group_order:
             tl, vl, ml = train_loaders[group], val_loaders[group], \

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="task name to resume after")
     p.add_argument("--proto_alpha", type=float, default=0.5)
     p.add_argument("--proto_beta", type=float, default=0.5)
+    p.add_argument("--use_memory_loss", action="store_true",
+                   help="enable the SI regularizer (dead in the shipped "
+                        "reference; this trains the paper's full objective)")
     p.add_argument("--lambda_Q", type=float, default=0.05)
     p.add_argument("--lambda_V", type=float, default=0.05)
     p.add_argument("--lambda_Q_new", type=float, default=0.05)
@@ -100,6 +103,7 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     t.comp_cate = args.comp_cate
     t.proto_alpha = args.proto_alpha
     t.proto_beta = args.proto_beta
+    t.use_memory_loss = args.use_memory_loss
     t.lambda_Q = args.lambda_Q
     t.lambda_V = args.lambda_V
     t.lambda_Q_new = args.lambda_Q_new

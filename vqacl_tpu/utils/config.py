@@ -98,6 +98,11 @@ class TrainConfig:
     lambda_Q_new: float = 0.05
     lambda_V_new: float = 0.05
     memory: bool = True                 # experience replay on
+    # SI memory regularizer: the mechanism the λ flags weight. DEAD in
+    # the shipped reference (memory=True never passed — SURVEY §2.5);
+    # off by default for shipped-behavior parity, flip on to train the
+    # paper's full SS+SI objective.
+    use_memory_loss: bool = False
     m_size: int = 5000                  # replay buffer size M
     comp_cate: str = "G-1"              # held-out category group ("G-1" = none)
     proto_alpha: float = 0.5
