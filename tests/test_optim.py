@@ -1,0 +1,87 @@
+"""Schedules, freeze mask, decay groups."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vqacl_tpu.models.vlt5 import init_vlt5_params
+from vqacl_tpu.train.optim import (decay_mask, dynamic_lr, freeze_mask,
+                                   make_schedule, make_transform)
+from vqacl_tpu.utils.config import TrainConfig, tiny_model_config
+
+
+def test_constant_warmup_schedule():
+    s = make_schedule(1e-3, t_total=100, warmup_ratio=0.1)
+    assert abs(float(s(0)) - 1e-4) < 1e-9     # (0+1)/10 of lr
+    assert abs(float(s(9)) - 1e-3) < 1e-9
+    assert abs(float(s(99)) - 1e-3) < 1e-9    # constant after warmup
+
+
+def test_linear_warmup_schedule():
+    s = make_schedule(1e-3, t_total=100, warmup_ratio=0.1,
+                      kind="linear_warmup")
+    assert abs(float(s(99))) < 2e-5           # decays to ~0
+    assert float(s(9)) > float(s(50)) > float(s(99))
+
+
+def test_dynamic_lr_matches_static():
+    sched = jnp.asarray([10.0, 100.0])
+    static = make_schedule(1e-3, t_total=100, warmup_ratio=0.1)
+    for step in (0, 5, 9, 50, 99):
+        assert abs(float(dynamic_lr(jnp.asarray(float(step)), sched, 1e-3))
+                   - float(static(step))) < 1e-9
+    static_l = make_schedule(1e-3, t_total=100, warmup_ratio=0.1,
+                             kind="linear_warmup")
+    for step in (0, 9, 50, 99):
+        assert abs(float(dynamic_lr(jnp.asarray(float(step)), sched, 1e-3,
+                                    "linear_warmup"))
+                   - float(static_l(step))) < 1e-8
+
+
+def test_decay_mask_excludes_norms_and_biases():
+    cfg = tiny_model_config()
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg)
+    mask = decay_mask(params)
+    assert mask["encoder"]["block_0"]["attn"]["wq"] is True
+    assert mask["encoder"]["block_0"]["ln1"] is False
+    assert mask["encoder"]["final_ln"] is False
+    assert mask["encoder"]["rel_bias"] is False
+    assert mask["visual_embedding"]["feat_b"] is False
+    assert mask["visual_embedding"]["feat_w"] is True
+
+
+def test_freeze_mode_only_updates_shared():
+    cfg = tiny_model_config()
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainConfig(freeze=True)
+    tx = make_transform(tcfg)
+    opt = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt, params)
+    assert float(jnp.abs(updates["shared"]).sum()) > 0
+    assert float(jnp.abs(updates["encoder"]["block_0"]["attn"]["wq"]).sum()) == 0
+    assert float(jnp.abs(updates["decoder"]["block_0"]["mlp"]["wi"]).sum()) == 0
+
+
+def test_multi_image_order_ids():
+    """Two-image visual embedding path (n_images=2)."""
+    from vqacl_tpu.models import vlt5
+    cfg = tiny_model_config()
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, N = 2, cfg.n_boxes
+    ids = rng.integers(2, 100, size=(B, cfg.max_text_length))
+    feats = rng.normal(size=(B, N, cfg.feat_dim)).astype(np.float32)
+    boxes = rng.uniform(0, 1, size=(B, N, 4)).astype(np.float32)
+    # first half of the boxes from image 0, second half image 1
+    img_order = np.zeros((1, N), np.int32)
+    img_order[:, N // 2:] = 1
+    h2, _ = vlt5.encode(params, cfg, jnp.asarray(ids), jnp.asarray(feats),
+                        jnp.asarray(boxes),
+                        img_order_ids=jnp.asarray(img_order))
+    h1, _ = vlt5.encode(params, cfg, jnp.asarray(ids), jnp.asarray(feats),
+                        jnp.asarray(boxes))
+    assert h2.shape == h1.shape
+    # different image-order embeddings → different activations
+    assert float(jnp.abs(h2 - h1).max()) > 1e-5

@@ -14,7 +14,7 @@ randomness is explicit: callers pass a ``random.Random(seed)`` or use
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 SEED = 66666
 

@@ -27,7 +27,6 @@ from __future__ import annotations
 import itertools
 import json
 import os
-import time
 from typing import Any, Dict, List, Optional
 
 import jax

@@ -19,7 +19,7 @@ Plus host-side metadata (question_ids, sents, answers) kept as lists.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 

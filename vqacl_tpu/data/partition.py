@@ -31,7 +31,7 @@ from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence
 
 import numpy as np
 
-from vqacl_tpu.cl.tasks import ALL_TASKS, CATEGORY_SPLITS
+from vqacl_tpu.cl.tasks import CATEGORY_SPLITS
 from vqacl_tpu.data.collate import collate
 
 

@@ -11,7 +11,7 @@ training can verify loss ↓ and accuracy > chance end-to-end.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from vqacl_tpu.cl.tasks import ALL_TASKS, CATEGORY_SPLITS
+from vqacl_tpu.cl.tasks import ALL_TASKS
 from vqacl_tpu.data.features import MemoryFeatureStore
 from vqacl_tpu.data.partition import VQAPartitionDataset
 from vqacl_tpu.data.tokenizer import VLT5Tokenizer

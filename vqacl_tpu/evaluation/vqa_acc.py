@@ -14,7 +14,7 @@ by unit tests against hand-checked examples.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Mapping, Optional, Sequence
+from typing import Any, Dict, List, Mapping, Optional
 
 CONTRACTIONS = {
     "aint": "ain't", "arent": "aren't", "cant": "can't",

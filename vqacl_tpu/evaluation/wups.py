@@ -22,7 +22,7 @@ limitation is surfaced via ``wordnet_available()``.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import Sequence
 
 _WN = None
 _WN_CHECKED = False

@@ -70,10 +70,16 @@ def encode(params: Params, cfg,
            boxes: jnp.ndarray,                # [B, N, 4]
            attention_mask: Optional[jnp.ndarray] = None,   # [B, L]
            vis_attention_mask: Optional[jnp.ndarray] = None,
+           img_order_ids: Optional[jnp.ndarray] = None,    # [B_or_1, N]
+           obj_order_ids: Optional[jnp.ndarray] = None,
            deterministic: bool = True, rng=None,
            dtype=jnp.float32, remat: bool = False,
            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Joint encoder → (hidden [B, L+N, D], enc_mask [B, L+N])."""
+    """Joint encoder → (hidden [B, L+N, D], enc_mask [B, L+N]).
+
+    ``img_order_ids``/``obj_order_ids`` support multi-image inputs
+    (n_images=2 in the reference config, trainer_base.py:79) — defaults
+    reproduce the single-image VQACL path."""
     B, L = input_ids.shape
     N = vis_feats.shape[1]
     if attention_mask is None:
@@ -85,6 +91,7 @@ def encode(params: Params, cfg,
     text_emb = t5.embed_tokens(params["shared"], input_ids, dtype)
     vis_emb = apply_visual_embedding(
         params["visual_embedding"], cfg, params["shared"], vis_feats, boxes,
+        img_order_ids=img_order_ids, obj_order_ids=obj_order_ids,
         dtype=dtype)
     inputs = jnp.concatenate([text_emb, vis_emb], axis=1)       # [B, S, D]
 

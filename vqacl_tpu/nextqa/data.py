@@ -29,7 +29,6 @@ from typing import Dict, List, Mapping, Optional, Sequence
 
 import numpy as np
 
-from vqacl_tpu.data.features import MemoryFeatureStore
 from vqacl_tpu.data.partition import VQAPartitionDataset
 from vqacl_tpu.evaluation.vqa_acc import (process_digit_article,
                                           process_punctuation)

@@ -34,7 +34,6 @@ crossover is roughly S ≥ 256 where the [B,H,S,S] HBM traffic dominates.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ Eval is a second compiled program: encode → prototype retrieval
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ ones it reports what's missing and where to place files.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 

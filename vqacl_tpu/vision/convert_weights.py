@@ -21,7 +21,7 @@ Also provides npz round-trip so converted weights ship without pickle.
 from __future__ import annotations
 
 import pickle
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import numpy as np
 

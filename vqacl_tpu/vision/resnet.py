@@ -20,8 +20,7 @@ convs land on the MXU.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
