@@ -1,0 +1,90 @@
+"""HBM feature cache: replicated + dp-sharded lookup, cached train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqacl_tpu.data.device_cache import DeviceFeatureCache, \
+    make_cached_train_step
+from vqacl_tpu.data.features import MemoryFeatureStore
+from vqacl_tpu.parallel import make_mesh, replicate, shard_batch
+
+
+def make_table(rng, n=20, n_boxes=4, feat_dim=16):
+    feats = rng.normal(size=(n, n_boxes, feat_dim)).astype(np.float32)
+    boxes = rng.uniform(0, 1, (n, n_boxes, 4)).astype(np.float32)
+    return feats, boxes
+
+
+def test_lookup_replicated(rng):
+    feats, boxes = make_table(rng)
+    cache = DeviceFeatureCache(feats, boxes, feat_dtype=jnp.float32)
+    slots = jnp.asarray([3, 0, 19, -1, 7], jnp.int32)
+    f, b = cache.lookup(slots)
+    np.testing.assert_allclose(np.asarray(f[0]), feats[3], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f[2]), feats[19], rtol=1e-6)
+    assert float(jnp.abs(f[3]).sum()) == 0.0      # pad slot → zeros
+    np.testing.assert_allclose(np.asarray(b[4]), boxes[7], rtol=1e-6)
+
+
+def test_lookup_sharded_over_dp(rng):
+    ctx = make_mesh(dp=8, tp=1)
+    feats, boxes = make_table(rng, n=21)  # non-divisible → padded
+    cache = DeviceFeatureCache(feats, boxes, mesh_ctx=ctx, shard=True,
+                               feat_dtype=jnp.float32)
+    slots = jnp.asarray([20, 1, 13, 5], jnp.int32)
+    f, b = cache.lookup(slots)
+    np.testing.assert_allclose(np.asarray(f[0]), feats[20], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f[2]), feats[13], rtol=1e-6)
+
+
+def test_from_store(rng):
+    store = MemoryFeatureStore()
+    for i in range(5):
+        store.put(f"img{i}", rng.normal(size=(4, 16)).astype(np.float32),
+                  rng.uniform(0, 1, (4, 4)).astype(np.float32))
+    cache, slot_of = DeviceFeatureCache.from_store(
+        store, [f"img{i}" for i in range(5)], feat_dtype=jnp.float32)
+    assert slot_of["img3"] == 3
+    f, _ = cache.lookup(jnp.asarray([slot_of["img2"]], jnp.int32))
+    np.testing.assert_allclose(np.asarray(f[0]), store.get("img2")[0],
+                               rtol=1e-6)
+
+
+def test_cached_train_step_matches_explicit(rng):
+    """slots-based step == explicit-features step, numerically."""
+    from vqacl_tpu.data.synthetic import SyntheticVQA
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+    from vqacl_tpu.train.optim import make_transform
+    from vqacl_tpu.train.state import TrainState
+    from vqacl_tpu.train.step import make_train_step
+    from vqacl_tpu.utils.config import Config, tiny_model_config
+
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    data = SyntheticVQA(16, seed=0, feat_dim=cfg.model.feat_dim,
+                        n_boxes=cfg.model.n_boxes,
+                        text_len=cfg.model.max_text_length,
+                        vocab_size=cfg.model.vocab_size, answer_vocab=8)
+    batch = next(data.batches(16))["tensors"]
+    cache = DeviceFeatureCache(batch["vis_feats"], batch["boxes"],
+                               feat_dtype=jnp.float32)
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg.model)
+    proto = ProtoState.create(10, 80, cfg.model.d_model)
+    tx = make_transform(cfg.train)
+
+    s1 = TrainState.create(params, tx, proto, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
+    _, m1 = step(s1, batch)
+
+    s2 = TrainState.create(params, tx, proto, jax.random.PRNGKey(1))
+    cstep = make_cached_train_step(cfg, tx, cache, dtype=jnp.float32,
+                                   donate=False)
+    cached_batch = {k: v for k, v in batch.items()
+                    if k not in ("vis_feats", "boxes")}
+    cached_batch["slots"] = np.arange(16, dtype=np.int32)
+    _, m2 = cstep(s2, cached_batch)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
