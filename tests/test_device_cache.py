@@ -88,3 +88,39 @@ def test_cached_train_step_matches_explicit(rng):
     cached_batch["slots"] = np.arange(16, dtype=np.int32)
     _, m2 = cstep(s2, cached_batch)
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+
+
+def test_trainer_with_device_cache(tmp_path):
+    """Full CL loop with the HBM cache enabled — results match the
+    host-feature path exactly (same seeds, same math)."""
+    from vqacl_tpu.cl.trainer import VQACLTrainer
+    from vqacl_tpu.data.synthetic_module import SyntheticDataModule
+    from vqacl_tpu.data.tokenizer import VLT5Tokenizer
+    from vqacl_tpu.utils.config import Config, tiny_model_config
+
+    def run(device_cache):
+        cfg = Config()
+        cfg.model = tiny_model_config()
+        cfg.model.vocab_size = 32200
+        cfg.train.lr = 1e-2
+        cfg.train.batch_size = 16
+        cfg.train.valid_batch_size = 16
+        cfg.train.epochs = 1
+        cfg.train.m_size = 20
+        cfg.data.device_cache = device_cache
+        cfg.output = str(tmp_path / ("dc" if device_cache else "host"))
+        tok = VLT5Tokenizer()
+        data = SyntheticDataModule(tok, tasks=["q_recognition"],
+                                   n_train_per_task=48, n_val_per_task=8,
+                                   n_test_per_task=8,
+                                   feat_dim=cfg.model.feat_dim,
+                                   n_boxes=cfg.model.n_boxes,
+                                   answer_vocab=4, seed=0)
+        tr = VQACLTrainer(cfg, data, tok, verbose=False, dtype=jnp.float32)
+        metrics = tr.train()
+        return metrics["Avg_acc"], tr
+
+    acc_cache, tr = run(True)
+    assert tr._cache is not None
+    acc_host, _ = run(False)
+    assert abs(acc_cache - acc_host) < 1e-6

@@ -89,8 +89,26 @@ class VQACLTrainer:
                                                  impl="rbg"))
         self.state = replicate(self.ctx, state)
 
+        # HBM feature cache: whole feature table on device, batches carry
+        # slot indices; ~8× real-training speedup vs per-step host upload
+        # on this setup (see BENCH_NOTES.md / data/device_cache.py).
+        self._cache = None
+        self._slot_of = None
+        if getattr(cfg.data, "device_cache", False) and \
+                hasattr(getattr(data, "features", None), "get"):
+            from vqacl_tpu.data.device_cache import (DeviceFeatureCache,
+                                                     make_cached_eval_step)
+            img_ids = sorted(data.cate_map.keys())
+            self._cache, self._slot_of = DeviceFeatureCache.from_store(
+                data.features, img_ids, mesh_ctx=self.ctx,
+                shard=getattr(cfg.data, "device_cache_sharded", False))
+            self._log(f"HBM feature cache: {self._cache.n} images "
+                      f"({self._cache.feats.nbytes / 1e9:.2f} GB)")
+            self.eval_step = make_cached_eval_step(cfg, self._cache,
+                                                   dtype=self.dtype)
+        else:
+            self.eval_step = make_eval_step(cfg, dtype=self.dtype)
         self._train_step_cache: Dict[Any, Any] = {}
-        self.eval_step = make_eval_step(cfg, dtype=self.dtype)
 
         # NExT-QA swaps in its G0..G4 video-category groups
         self.splits = getattr(data, "category_splits", CATEGORY_SPLITS)
@@ -105,11 +123,25 @@ class VQACLTrainer:
     def _train_step(self, use_memory_loss: bool):
         key = bool(use_memory_loss)
         if key not in self._train_step_cache:
-            self._train_step_cache[key] = make_train_step(
-                self.cfg, self._tx, dtype=self.dtype,
-                use_memory_loss=use_memory_loss,
-                remat=self.cfg.mesh.remat)
+            if self._cache is not None:
+                from vqacl_tpu.data.device_cache import make_cached_train_step
+                fn = make_cached_train_step(
+                    self.cfg, self._tx, self._cache, dtype=self.dtype,
+                    use_memory_loss=use_memory_loss,
+                    remat=self.cfg.mesh.remat)
+            else:
+                fn = make_train_step(
+                    self.cfg, self._tx, dtype=self.dtype,
+                    use_memory_loss=use_memory_loss,
+                    remat=self.cfg.mesh.remat)
+            self._train_step_cache[key] = fn
         return self._train_step_cache[key]
+
+    def _slotify(self, ds):
+        """Switch a dataset into HBM-cache slot mode."""
+        if self._slot_of is not None:
+            ds.slot_of = self._slot_of
+        return ds
 
     def _reset_optimizer(self, total_train_num: int) -> None:
         """Fresh AdamW per group with the reference's t_total accounting
@@ -187,9 +219,12 @@ class VQACLTrainer:
             mem_items = self.buffer.all_examplars()
             self._log(f"# memory size: {len(mem_items)}")
 
-        train_ds = self.data.dataset(task, "train", task_idx=task_idx)
-        val_ds = self.data.dataset(task, "val", task_idx=task_idx)
-        test_ds_all = self.data.dataset(task, "test", task_idx=task_idx)
+        train_ds = self._slotify(self.data.dataset(task, "train",
+                                                    task_idx=task_idx))
+        val_ds = self._slotify(self.data.dataset(task, "val",
+                                                 task_idx=task_idx))
+        test_ds_all = self._slotify(self.data.dataset(task, "test",
+                                                      task_idx=task_idx))
         self.task_total_num[task_idx] = len(train_ds)
 
         bs = cfg.train.batch_size
@@ -201,8 +236,9 @@ class VQACLTrainer:
         val_loaders = group_loaders(val_ds, vbs, shuffle=False,
                                     with_targets=True, collate_kw=self._ck(),
                                     splits=self.splits)
-        mem_ds = self.data.make_dataset(mem_items, mode="train",
-                                        task_idx=task_idx)
+        mem_ds = self._slotify(self.data.make_dataset(mem_items,
+                                                      mode="train",
+                                                      task_idx=task_idx))
         mem_loaders = group_loaders(mem_ds, bs, shuffle=True,
                                     seed=cfg.train.seed + 7,
                                     collate_kw=self._ck(),
@@ -293,7 +329,8 @@ class VQACLTrainer:
             test_task = self.tasks[j]
             loader = self.test_loader_dict_all.get(test_task)
             if loader is None:
-                test_ds = self.data.dataset(test_task, "test", task_idx=j)
+                test_ds = self._slotify(
+                    self.data.dataset(test_task, "test", task_idx=j))
                 loader = all_loader(test_ds, self.cfg.train.valid_batch_size,
                                     with_targets=False, collate_kw=self._ck())
                 self.test_loader_dict_all[test_task] = loader

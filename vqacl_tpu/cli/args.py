@@ -24,6 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_topk", type=int, default=-1)
     p.add_argument("--valid_topk", type=int, default=-1)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--device_cache", action="store_true",
+                   help="preload all region features to device HBM; "
+                        "batches carry slot indices")
+    p.add_argument("--device_cache_sharded", action="store_true",
+                   help="row-shard the HBM feature table over the dp axis")
     # model
     p.add_argument("--backbone", default="t5-base")
     p.add_argument("--tokenizer", default=None,
@@ -119,6 +124,8 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     d.train_topk = args.train_topk
     d.valid_topk = args.valid_topk
     d.n_workers = args.num_workers
+    d.device_cache = args.device_cache
+    d.device_cache_sharded = args.device_cache_sharded
     cfg.output = args.output
     cfg.backbone = args.backbone
     cfg._cli = args  # stash for entry points

@@ -40,9 +40,17 @@ def collate(examples: Sequence[Dict[str, Any]],
     Bp = pad_to_batch or B
     L, N, T = max_text_length, n_boxes, target_max_length
 
+    # slot mode: examples carry HBM-cache slot indices instead of raw
+    # features (data/device_cache.py); pad rows get slot -1 → zeros
+    slot_mode = B > 0 and "slot" in examples[0]
+
     input_ids = np.zeros((Bp, L), np.int32)
-    vis_feats = np.zeros((Bp, N, feat_dim), np.float32)
-    boxes = np.zeros((Bp, N, 4), np.float32)
+    if slot_mode:
+        slots = np.full((Bp,), -1, np.int32)
+        vis_feats = boxes = None
+    else:
+        vis_feats = np.zeros((Bp, N, feat_dim), np.float32)
+        boxes = np.zeros((Bp, N, 4), np.float32)
     scores = np.zeros((Bp,), np.float32)
     ques_labels = np.zeros((Bp, n_ques_types), np.float32)
     cate_labels = np.zeros((Bp, n_categories), np.float32)
@@ -52,8 +60,11 @@ def collate(examples: Sequence[Dict[str, Any]],
     for i, ex in enumerate(examples):
         ids = ex["input_ids"][:L]
         input_ids[i, :len(ids)] = ids
-        vis_feats[i] = ex["vis_feats"]
-        boxes[i] = np.clip(ex["boxes"], 0.0, 1.0)
+        if slot_mode:
+            slots[i] = ex["slot"]
+        else:
+            vis_feats[i] = ex["vis_feats"]
+            boxes[i] = np.clip(ex["boxes"], 0.0, 1.0)
         if with_targets and "target_ids" in ex:
             t = ex["target_ids"][:T]
             target_ids[i, :len(t)] = t
@@ -66,12 +77,15 @@ def collate(examples: Sequence[Dict[str, Any]],
 
     batch: Dict[str, Any] = {
         "input_ids": input_ids,
-        "vis_feats": vis_feats,
-        "boxes": boxes,
         "scores": scores,
         "ques_labels": ques_labels,
         "cate_labels": cate_labels,
     }
+    if slot_mode:
+        batch["slots"] = slots
+    else:
+        batch["vis_feats"] = vis_feats
+        batch["boxes"] = boxes
     if with_targets:
         batch["target_ids"] = target_ids
     meta = {"question_ids": question_ids, "sents": sents,

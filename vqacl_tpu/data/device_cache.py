@@ -119,6 +119,24 @@ def make_cached_train_step(cfg, tx, cache: DeviceFeatureCache,
     return step
 
 
+def make_cached_eval_step(cfg, cache: DeviceFeatureCache,
+                          dtype=jnp.bfloat16, **kw):
+    """Eval step over slot-indexed batches (see make_cached_train_step)."""
+    from vqacl_tpu.train.step import make_eval_step
+
+    inner = make_eval_step(cfg, dtype=dtype, **kw)
+
+    def step(params, proto, batch):
+        b = dict(batch)
+        slots = b.pop("slots")
+        feats, boxes = _lookup_jit(cache, slots)
+        b["vis_feats"] = feats
+        b["boxes"] = boxes
+        return inner(params, proto, b)
+
+    return step
+
+
 def _lookup_jit(cache: DeviceFeatureCache, slots):
     """Jitted gather, compiled once per cache instance (the tables are
     passed as arguments so they are not baked into the program — the

@@ -72,6 +72,9 @@ class VQAPartitionDataset:
         self.rng = np.random.default_rng(seed)
         self.task_idx = task_idx
         self.answer_normalize = answer_normalize
+        # HBM-cache mode: when set ({img_id: slot}), examples carry slot
+        # indices and skip host feature reads (data/device_cache.py)
+        self.slot_of = None
 
     def __len__(self) -> int:
         return len(self.data)
@@ -79,14 +82,11 @@ class VQAPartitionDataset:
     def example(self, i: int) -> Dict[str, Any]:
         d = self.data[i]
         img_id = d["img_id"]
-        feats, boxes = self.features.get(img_id)
         sent = d.get("sent", d.get("question"))
         input_ids = self.tok.encode(f"vqa: {sent}", max_length=self.L)
         qid = d["question_id"]
         ex: Dict[str, Any] = {
             "input_ids": input_ids,
-            "vis_feats": feats,
-            "boxes": boxes,
             "question_id": qid,
             "sent": sent,
             "ques_label": int(self.ques_map.get(str(qid),
@@ -94,6 +94,12 @@ class VQAPartitionDataset:
             "cate_label": int(self.cate_map.get(str(img_id),
                                                 self.cate_map.get(img_id, 0))),
         }
+        if self.slot_of is not None:
+            ex["slot"] = int(self.slot_of[str(img_id)])
+        else:
+            feats, boxes = self.features.get(img_id)
+            ex["vis_feats"] = feats
+            ex["boxes"] = boxes
         if "label" in d and d["label"]:
             answers, scores = zip(*d["label"].items())
             ssum = float(sum(scores))

@@ -136,6 +136,12 @@ class DataConfig:
     valid_topk: int = -1
     answer_normalize: bool = False
     host_cache_bytes: int = 4 << 30   # host-RAM tier of the feature cache
+    # HBM tier: preload ALL region features to device, batches carry
+    # slot indices (data/device_cache.py). ~8x faster real training on
+    # tunneled/slow-host setups; requires the table to fit (bf16 ≈
+    # 147 KB/image, optionally dp-sharded across the mesh).
+    device_cache: bool = False
+    device_cache_sharded: bool = False
 
 
 @dataclass
