@@ -123,4 +123,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import traceback
+    try:
+        main()
+    except Exception:
+        # the tunneled compile service occasionally drops a request
+        # ("response body closed…"); one retry rides it out
+        traceback.print_exc()
+        print("bench: transient failure, retrying once", flush=True)
+        main()

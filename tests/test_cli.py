@@ -1,0 +1,46 @@
+"""CLI arg → Config mapping (reference flag spellings)."""
+
+from vqacl_tpu.cli.args import parse_config
+
+
+def test_reference_launch_flags_translate():
+    # the reference's VQACL_train.sh invocation, verbatim flags
+    cfg = parse_config([
+        "--train", "karpathy_train", "--valid", "karpathy_val",
+        "--test", "karpathy_test", "--batch_size", "80",
+        "--valid_batch_size", "100", "--epochs", "3", "--lr", "1e-4",
+        "--warmup_ratio", "0.1", "--clip_grad_norm", "5",
+        "--from_scratch", "--memory", "--m_size", "5000",
+        "--comp_cate", "G-1", "--now_train", "--output", "snap/test",
+    ])
+    assert cfg.train.batch_size == 80
+    assert cfg.train.valid_batch_size == 100
+    assert cfg.train.epochs == 3
+    assert cfg.train.lr == 1e-4
+    assert cfg.train.clip_grad_norm == 5.0
+    assert cfg.train.from_scratch
+    assert cfg.train.memory and cfg.train.m_size == 5000
+    assert cfg.train.comp_cate == "G-1"
+    assert cfg.output == "snap/test"
+    assert cfg._cli.now_train
+
+
+def test_tpu_flags():
+    cfg = parse_config(["--mesh_dp", "4", "--mesh_tp", "2",
+                        "--dtype", "float32", "--remat",
+                        "--device_cache", "--use_memory_loss"])
+    assert cfg.mesh.dp == 4 and cfg.mesh.tp == 2
+    assert cfg.mesh.dtype == "float32" and cfg.mesh.remat
+    assert cfg.data.device_cache
+    assert cfg.train.use_memory_loss
+
+
+def test_yaml_roundtrip(tmp_path):
+    from vqacl_tpu.utils.config import Config
+    cfg = parse_config(["--lr", "3e-4", "--m_size", "123"])
+    path = str(tmp_path / "cfg.yaml")
+    cfg.save(path)
+    cfg2 = Config.load(path)
+    assert cfg2.train.lr == 3e-4
+    assert cfg2.train.m_size == 123
+    assert cfg2.model.d_model == cfg.model.d_model

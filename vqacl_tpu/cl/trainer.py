@@ -296,17 +296,30 @@ class VQACLTrainer:
     # ------------------------------------------------------------------
     def predict(self, loader: BatchLoader) -> Dict[Any, str]:
         """Greedy generation over a loader → {question_id: answer string}
-        (vqacl.py:586-624 without the Gloo all_gather)."""
+        (vqacl.py:586-624 without the Gloo all_gather).
+
+        Software-pipelined: batch i+1's decode is dispatched before batch
+        i's tokens are pulled to host, hiding the device→host transfer
+        (which pays a full tunnel RTT here) behind compute."""
         quesid2ans: Dict[Any, str] = {}
+        pending = None  # (device tokens, meta)
+
+        def drain(item):
+            tokens, meta = item
+            tokens = np.asarray(tokens)
+            n_real = meta["n_real"]
+            for qid, ans in zip(meta["question_ids"][:n_real],
+                                self.tok.batch_decode(tokens[:n_real])):
+                quesid2ans[qid] = ans
+
         for batch in loader:
             tokens = self.eval_step(self.state.params, self.state.proto,
                                     shard_batch(self.ctx, batch["tensors"]))
-            tokens = np.asarray(tokens)
-            n_real = batch["meta"]["n_real"]
-            answers = self.tok.batch_decode(tokens[:n_real])
-            for qid, ans in zip(batch["meta"]["question_ids"][:n_real],
-                                answers):
-                quesid2ans[qid] = ans
+            if pending is not None:
+                drain(pending)
+            pending = (tokens, batch["meta"])
+        if pending is not None:
+            drain(pending)
         return quesid2ans
 
     def evaluate(self, loader: BatchLoader, task: str) -> Dict[str, float]:
