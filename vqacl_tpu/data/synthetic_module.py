@@ -33,7 +33,11 @@ class SyntheticDataModule:
                  n_train_per_task: int = 100, n_val_per_task: int = 20,
                  n_test_per_task: int = 20, feat_dim: int = 2048,
                  n_boxes: int = 36, n_categories: int = 80,
-                 answer_vocab: int = 8, seed: int = 0):
+                 answer_vocab: int = 8, seed: int = 0,
+                 n_images: Optional[int] = None):
+        """``n_images``: size of the shared image pool (None → one image
+        per question). Real VQA v2 has ~7 questions/image; a bounded
+        pool keeps large-scale soaks within host/HBM budgets."""
         self.tok = tokenizer
         self.tasks = list(tasks)
         self.feat_dim = feat_dim
@@ -46,8 +50,24 @@ class SyntheticDataModule:
         self.ques_map: Dict[str, int] = {}
         self._items: Dict[str, Dict[str, List[dict]]] = {}
 
+        def new_image(c: int) -> str:
+            img_id = f"synt_{len(self.cate_map)}"
+            feats = (self._centroids[c][None] + 0.3 * rng.normal(
+                size=(n_boxes, feat_dim))).astype(np.float32)
+            x1y1 = rng.uniform(0, 0.5, size=(n_boxes, 2))
+            wh = rng.uniform(0.1, 0.5, size=(n_boxes, 2))
+            boxes = np.concatenate(
+                [x1y1, np.clip(x1y1 + wh, 0, 1)], axis=1).astype(np.float32)
+            self.features.put(img_id, feats, boxes)
+            self.cate_map[img_id] = c
+            return img_id
+
+        pool: List[str] = []
+        if n_images is not None:
+            for _ in range(n_images):
+                pool.append(new_image(int(rng.integers(0, n_categories))))
+
         qid = 0
-        img = 0
         for t_idx, task in enumerate(self.tasks):
             per_split = {"train": n_train_per_task, "val": n_val_per_task,
                          "test": n_test_per_task}
@@ -55,22 +75,16 @@ class SyntheticDataModule:
             for split, n in per_split.items():
                 items = []
                 for _ in range(n):
-                    c = int(rng.integers(0, n_categories))
+                    if pool:
+                        img_id = pool[int(rng.integers(0, len(pool)))]
+                        c = self.cate_map[img_id]
+                    else:
+                        c = int(rng.integers(0, n_categories))
+                        img_id = new_image(c)
                     # answer determined by the image category (appears in
                     # both the features and the question text) so the
                     # mapping is task-agnostic and learnably easy
                     ans = f"ans{c % answer_vocab}"
-                    img_id = f"synt_{img}"
-                    img += 1
-                    feats = (self._centroids[c][None] + 0.3 * rng.normal(
-                        size=(n_boxes, feat_dim))).astype(np.float32)
-                    x1y1 = rng.uniform(0, 0.5, size=(n_boxes, 2))
-                    wh = rng.uniform(0.1, 0.5, size=(n_boxes, 2))
-                    boxes = np.concatenate(
-                        [x1y1, np.clip(x1y1 + wh, 0, 1)], axis=1
-                    ).astype(np.float32)
-                    self.features.put(img_id, feats, boxes)
-                    self.cate_map[img_id] = c
                     self.ques_map[str(qid)] = t_idx
                     items.append({
                         "img_id": img_id,
