@@ -103,3 +103,29 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     # tree structure preserved
     assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest = __import__("pytest")
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except Exception:
+        pytest.skip("orbax not available")
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+    from vqacl_tpu.train.checkpoint import (load_checkpoint_orbax,
+                                            save_checkpoint_orbax)
+    from vqacl_tpu.utils.config import tiny_model_config
+
+    cfg = tiny_model_config()
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg)
+    proto = ProtoState.create(10, 80, cfg.d_model)
+    proto = proto._replace(v_proto=proto.v_proto + 2.0)
+    d = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(d, params, proto, step=7)
+    p2, pr2, step = load_checkpoint_orbax(d)
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(pr2.v_proto),
+                               np.asarray(proto.v_proto))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -68,3 +68,29 @@ def load_checkpoint(path: str) -> Tuple[Any, ProtoState, int]:
                           for name in ProtoState._fields})
     step = int(flat.get("meta::step", np.asarray(0)))
     return params, proto, step
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (production TPU checkpointing: async, sharding-aware,
+# multi-host safe). Optional — the npz path has no extra dependencies.
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(directory: str, params: Any, proto: ProtoState,
+                          step: int = 0) -> None:
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    tree = {"params": params, "proto": dict(proto._asdict()),
+            "step": np.asarray(step)}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(directory, tree, force=True)
+
+
+def load_checkpoint_orbax(directory: str) -> Tuple[Any, ProtoState, int]:
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(directory)
+    proto = ProtoState(**{k: tree["proto"][k] for k in ProtoState._fields})
+    return tree["params"], proto, int(tree["step"])
