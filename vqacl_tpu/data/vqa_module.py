@@ -46,12 +46,19 @@ class VQADataModule:
         self.ques_map, self.cate_map = load_maps(root)
         if feature_store is None:
             feat_dir = os.path.join(root, "COCO", "features")
-            sources = {}
-            for source in ("train2014", "val2014", "test2015"):
-                path = os.path.join(feat_dir, f"{source}_obj36.h5")
-                if os.path.exists(path):
-                    sources[source] = path
-            feature_store = H5FeatureStore(sources)
+            pack = os.path.join(feat_dir, "coco_obj36.vfpack")
+            if os.path.exists(pack):
+                # native mmap pack tier (data/packed_cache.py) when the
+                # one-time conversion has been run
+                from vqacl_tpu.data.packed_cache import PackedFeatureStore
+                feature_store = PackedFeatureStore(pack)
+            else:
+                sources = {}
+                for source in ("train2014", "val2014", "test2015"):
+                    path = os.path.join(feat_dir, f"{source}_obj36.h5")
+                    if os.path.exists(path):
+                        sources[source] = path
+                feature_store = H5FeatureStore(sources)
         self.features = feature_store
         self._cache: Dict[str, Dict[str, List[dict]]] = {}
         self._gt = None
