@@ -113,3 +113,32 @@ def test_nextqa_cl_smoke(tmp_path):
     res = trainer.result_matrix.to_dict()
     assert res["TN"]["CW"] >= 0
     assert np.isfinite(metrics["Avg_acc"])
+
+
+def test_nextqa_comp_trainer_smoke(tmp_path):
+    """NExT-QA through the composition trainer (nextqa_CL.py:420-423
+    runs comp+noncomp tests per task)."""
+    from vqacl_tpu.cl.comp_trainer import CompVQACLTrainer
+    from vqacl_tpu.utils.config import Config, tiny_model_config
+
+    cfg = Config()
+    cfg.model = tiny_model_config(
+        vocab_size=32200, max_text_length=23, n_boxes=16,
+        target_max_length=6, feat_dim=2048, n_ques_types=8)
+    cfg.train.lr = 5e-3
+    cfg.train.batch_size = 8
+    cfg.train.valid_batch_size = 8
+    cfg.train.epochs = 1
+    cfg.train.m_size = 10
+    cfg.train.comp_cate = "G2"
+    cfg.output = str(tmp_path)
+
+    tok = VLT5Tokenizer()
+    mod = make_synthetic_module(tok, tasks=("CW", "TN"), n=40)
+    trainer = CompVQACLTrainer(cfg, mod, tok, verbose=False,
+                               dtype=jnp.float32)
+    out = trainer.train()
+    assert set(out) == {"standard", "comp", "noncomp"}
+    # holdout honored: G2 trained only on the first task
+    groups = [(e["task"], e["group"]) for e in trainer.metrics_log]
+    assert ("TN", "G2") not in groups
