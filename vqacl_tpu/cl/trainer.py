@@ -276,15 +276,24 @@ class VQACLTrainer:
             for epoch in range(cfg.train.epochs):
                 it = zip(tl, itertools.cycle(ml)) if ml.num_examples > 0 \
                     else ((b, None) for b in tl)
+                # loss scalars stay ON DEVICE during the epoch — a
+                # float() per step costs a full host round-trip (~40 ms
+                # on tunneled chips, ≈ a whole train step); they drain
+                # at epoch end when the queue is synced anyway
+                pend, pend_mem = [], []
                 for batch, mem_batch in it:
                     self.state, m = step_fn(
                         self.state, shard_batch(self.ctx, batch["tensors"]))
-                    meter.update(float(m["loss"]))
+                    pend.append(m["loss"])
                     if mem_batch is not None:
                         self.state, mm = step_fn(
                             self.state,
                             shard_batch(self.ctx, mem_batch["tensors"]))
-                        meter_mem.update(float(mm["loss"]))
+                        pend_mem.append(mm["loss"])
+                for v in pend[-meter.maxlen:]:
+                    meter.update(float(v))
+                for v in pend_mem[-meter_mem.maxlen:]:
+                    meter_mem.update(float(v))
                 if vl.num_examples > 0:
                     score = self.evaluate(vl, task)
                     self._log(f"   {group} epoch {epoch}: loss {meter.val:.4f}"
