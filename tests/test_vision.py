@@ -115,3 +115,16 @@ def test_extract_regions_batch_shapes():
     assert rb.features.shape == (2, 8, 2048)
     assert rb.boxes.shape == (2, 8, 4)
     assert np.isfinite(np.asarray(rb.features)).all()
+
+
+def test_validate_features_matching():
+    """match_and_score: identical records → perfect match."""
+    from vqacl_tpu.cli.validate_features import match_and_score
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(8, 32)).astype(np.float32)
+    boxes = rng.uniform(0, 50, (8, 4)).astype(np.float32)
+    boxes[:, 2:] += boxes[:, :2] + 5
+    s = match_and_score({"features": feats, "boxes": boxes}, feats, boxes)
+    assert s["n_matched"] == 8
+    assert s["mean_iou"] > 0.999
+    assert s["mean_feature_cosine"] > 0.999
