@@ -97,3 +97,12 @@ def test_train_step_on_8dev_mesh():
     # params stay replicated-consistent after the update
     state2, m2 = step(state, batch)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_loss_eval_step(trained):
+    from vqacl_tpu.train.step import make_loss_eval_step
+    cfg, state, data, _ = trained
+    step = make_loss_eval_step(cfg, dtype=jnp.float32)
+    batch = next(data.batches(16, seed=3))["tensors"]
+    loss = float(step(state.params, state.proto, batch))
+    assert np.isfinite(loss) and loss < 2.0  # trained model → low loss

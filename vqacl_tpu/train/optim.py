@@ -105,25 +105,6 @@ def make_transform(cfg_train, with_clip: bool = True
     return optax.chain(*parts)
 
 
-def make_optimizer(cfg_train, params: Any, t_total: int
-                   ) -> optax.GradientTransformation:
-    sched = make_schedule(cfg_train.lr, t_total, cfg_train.warmup_ratio,
-                          cfg_train.schedule)
-    parts = [
-        optax.clip_by_global_norm(cfg_train.clip_grad_norm),
-        optax.adamw(
-            learning_rate=sched,
-            b1=cfg_train.adam_beta1, b2=cfg_train.adam_beta2,
-            eps=cfg_train.adam_eps,
-            weight_decay=cfg_train.weight_decay,
-            mask=decay_mask,
-        ),
-    ]
-    if cfg_train.freeze:
-        parts.append(_apply_mask(freeze_mask))
-    return optax.chain(*parts)
-
-
 def _apply_mask(mask_fn) -> optax.GradientTransformation:
     """Multiply updates by a 0/1 trainability mask."""
     def init(params):

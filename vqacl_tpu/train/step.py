@@ -121,20 +121,12 @@ def make_eval_step(cfg, dtype=jnp.bfloat16,
 
 def make_loss_eval_step(cfg, dtype=jnp.bfloat16,
                         use_prototype: Optional[bool] = None) -> Callable:
-    """Validation-loss step (no grad, no proto update)."""
-    mcfg, tcfg = cfg.model, cfg.train
+    """Validation-loss step: teacher-forced loss with retrieval-only
+    prototypes (no grad, no bank update)."""
+    mcfg = cfg.model
     if use_prototype is None:
         use_prototype = mcfg.use_prototype
 
-    def step(params, proto, batch):
-        out = vlt5.forward_train(
-            params, mcfg, batch, proto,
-            proto_alpha=tcfg.proto_alpha, proto_beta=tcfg.proto_beta,
-            use_prototype=use_prototype, use_memory_loss=False,
-            deterministic=True, rng=None, dtype=dtype)
-        return out.loss
-
-    # eval-time augment must not update the banks: recompute without update
     def eval_loss(params, proto, batch):
         hidden, enc_mask = vlt5.encode(
             params, mcfg, batch["input_ids"], batch["vis_feats"],
@@ -149,5 +141,4 @@ def make_loss_eval_step(cfg, dtype=jnp.bfloat16,
         return vlt5.weighted_lm_loss(logits, batch["target_ids"],
                                      batch["scores"])
 
-    del step
     return jax.jit(eval_loss)
