@@ -162,3 +162,31 @@ def test_nextqa_from_root_end_to_end(nextqa_root, tmp_path):
     assert np.isfinite(metrics["Avg_acc"])
     res = trainer.result_matrix.to_dict()
     assert res["TN"]["CW"] >= 0
+
+
+def test_cli_end_to_end(vqa_root, tmp_path, monkeypatch):
+    """vqacl_train CLI main() over the synthesized artifacts: train two
+    tiny tasks, then eval-only mode over the saved checkpoints."""
+    from vqacl_tpu.cli import vqacl_train
+    import vqacl_tpu.data.vqa_module as vm
+
+    # CLI uses ALL_TASKS; restrict to our two synthesized tasks
+    monkeypatch.setattr(vm, "ALL_TASKS", TASKS)
+    orig_init = vm.VQADataModule.__init__
+
+    def patched(self, root, tok, tasks=TASKS, **kw):
+        orig_init(self, root, tok, tasks=TASKS, **kw)
+
+    monkeypatch.setattr(vm.VQADataModule, "__init__", patched)
+
+    out = str(tmp_path / "cli_snap")
+    args = ["--dataset_root", vqa_root, "--output", out, "--tiny_model",
+            "--batch_size", "8", "--valid_batch_size", "8",
+            "--epochs", "1", "--m_size", "10", "--memory",
+            "--from_scratch", "--lr", "1e-2", "--dtype", "float32",
+            "--now_train"]
+    vqacl_train.main(args)
+    assert os.path.exists(os.path.join(out, "q_location_LAST.npz"))
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+    # eval-only (reference VQACL.sh without --now_train)
+    vqacl_train.main([a for a in args if a != "--now_train"])

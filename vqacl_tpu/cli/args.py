@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_class_hierarchy", action="store_true", default=True)
     # output
     p.add_argument("--output", default="snap/vqacl")
+    p.add_argument("--tiny_model", action="store_true",
+                   help="scaled-down architecture (CI/e2e smoke)")
     # tpu
     p.add_argument("--mesh_dp", type=int, default=-1)
     p.add_argument("--mesh_tp", type=int, default=1)
@@ -85,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
 def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     args = build_parser().parse_args(argv)
     cfg = Config()
+    if args.tiny_model:
+        from vqacl_tpu.utils.config import tiny_model_config
+        cfg.model = tiny_model_config(vocab_size=32200, feat_dim=2048,
+                                      n_boxes=36, max_text_length=20,
+                                      target_max_length=10)
     m, t, me, d = cfg.model, cfg.train, cfg.mesh, cfg.data
     m.n_boxes = args.n_boxes
     m.max_text_length = args.max_text_length
