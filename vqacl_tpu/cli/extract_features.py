@@ -40,6 +40,10 @@ def main(argv=None) -> None:
     p.add_argument("--n_boxes", type=int, default=36)
     p.add_argument("--pack", action="store_true",
                    help="write native .vfpack instead of h5")
+    p.add_argument("--boxes_json", default=None,
+                   help="given-box mode ({img_id: [[x1,y1,x2,y2],...]}):"
+                        " RoI features at the provided GT boxes instead of"
+                        " RPN proposals (reference *_gt.py drivers)")
     args = p.parse_args(argv)
 
     import jax
@@ -53,9 +57,36 @@ def main(argv=None) -> None:
         print("WARNING: no --weights given; using random detector weights")
         params = frcnn.init_frcnn(jax.random.PRNGKey(0))
 
+    given_boxes = None
+    if args.boxes_json:
+        import json
+        with open(args.boxes_json) as f:
+            given_boxes = json.load(f)
+
     def records():
+        import jax.numpy as jnp
         for img_id, bgr in iter_images(args.images):
-            rec = frcnn.extract_image(params, bgr, n_boxes=args.n_boxes)
+            if given_boxes is not None:
+                if img_id not in given_boxes:
+                    continue
+                boxes = np.asarray(given_boxes[img_id], np.float32)
+                pad = args.n_boxes - len(boxes)
+                if pad > 0:
+                    boxes = np.concatenate(
+                        [boxes, np.tile(boxes[-1:], (pad, 1))], axis=0)
+                boxes = boxes[:args.n_boxes]
+                resized, scale = frcnn.resize_shortest_edge(
+                    bgr.astype(np.float32))
+                feats, obj_id, obj_conf = frcnn.extract_given_boxes(
+                    params, jnp.asarray(frcnn.pad_to_bucket(resized)),
+                    jnp.asarray(boxes * scale))
+                rec = {"features": np.asarray(feats, np.float32),
+                       "boxes": boxes,
+                       "img_h": bgr.shape[0], "img_w": bgr.shape[1],
+                       "obj_id": np.asarray(obj_id),
+                       "obj_conf": np.asarray(obj_conf)}
+            else:
+                rec = frcnn.extract_image(params, bgr, n_boxes=args.n_boxes)
             yield img_id, rec
 
     if args.pack:
