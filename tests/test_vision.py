@@ -128,3 +128,14 @@ def test_validate_features_matching():
     assert s["n_matched"] == 8
     assert s["mean_iou"] > 0.999
     assert s["mean_feature_cosine"] > 0.999
+
+
+def test_draw_boxes(tmp_path):
+    from vqacl_tpu.vision.visualize import draw_boxes
+    img = np.zeros((60, 80, 3), np.uint8)
+    boxes = np.array([[5, 5, 30, 30], [40, 10, 70, 50]], np.float32)
+    out = str(tmp_path / "viz.png")
+    draw_boxes(img, boxes, labels=["cat", "dog"],
+               scores=np.array([0.9, 0.5]), out_path=out)
+    import os
+    assert os.path.getsize(out) > 0
