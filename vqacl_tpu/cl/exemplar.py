@@ -43,6 +43,11 @@ class ExemplarBuffer:
         rng.shuffle(items)
 
         for g, ids in self.splits.items():
+            # pad missing history (resume-from-task: older tasks' slots
+            # were built in a previous process — the trainer replays them,
+            # but stay robust to direct use)
+            while len(self.sets[g]) < task_idx - 1:
+                self.sets[g].append([])
             slot: List[dict] = []
             self.sets[g].append(slot)
             for d in items:

@@ -162,6 +162,16 @@ class VQACLTrainer:
             self.state = self.state._replace(
                 params=replicate(self.ctx, params),
                 proto=replicate(self.ctx, proto))
+            # rebuild exemplar-buffer history so the first resumed task
+            # sees the same replay quota a continuous run would
+            # (vqacl.py:147-160 resume marks tasks trained; its buffer
+            # rebuild crashes upstream when combined with --memory —
+            # deliberate fix here)
+            if self.cfg.train.memory:
+                for k in range(1, start_idx):
+                    self.buffer.update(k,
+                                       self.data.train_items(self.tasks[k - 1]),
+                                       self.data.cate_map, self.py_rng)
 
         for task_idx in range(start_idx, len(self.tasks)):
             task = self.tasks[task_idx]
