@@ -182,3 +182,24 @@ def test_roi_pool_matches_oracle(rng):
                                spatial_scale=1.0, output_size=(7, 7)))
     ref = roi_pool_np(feat, rois, 1.0, (7, 7))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_nms_score_ties_stable_order(rng):
+    """Equal scores: suppression follows stable sort order (ascending
+    index), matching torchvision's stable sort convention."""
+    boxes = random_boxes(rng, 40)
+    scores = np.full(40, 0.5, np.float32)   # all tied
+    ref = set(nms_np(boxes, scores, 0.5))
+    mask = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    assert set(np.where(mask)[0]) == ref
+
+
+def test_max_nms_all_invalid_scores():
+    """All proposals masked (score -1, e.g. zero valid RPN proposals):
+    still returns exactly n_keep indices without error."""
+    boxes = np.tile(np.array([[0, 0, 10, 10]], np.float32), (20, 1))
+    scores = np.full(20, -1.0, np.float32)
+    idx, valid = max_nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                               n_keep=6)
+    assert idx.shape == (6,)
+    assert np.asarray(idx).min() >= 0 and np.asarray(idx).max() < 20
