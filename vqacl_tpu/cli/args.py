@@ -62,14 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="None",
                    help="task name to resume after")
     p.add_argument("--proto_alpha", type=float, default=0.5)
-    p.add_argument("--proto_beta", type=float, default=0.5)
+    p.add_argument("--proto_beta", type=float, default=0.3)
     p.add_argument("--use_memory_loss", action="store_true",
                    help="enable the SI regularizer (dead in the shipped "
                         "reference; this trains the paper's full objective)")
-    p.add_argument("--lambda_Q", type=float, default=0.05)
-    p.add_argument("--lambda_V", type=float, default=0.05)
-    p.add_argument("--lambda_Q_new", type=float, default=0.05)
-    p.add_argument("--lambda_V_new", type=float, default=0.05)
+    p.add_argument("--lambda_Q", type=float, default=0.01)
+    p.add_argument("--lambda_V", type=float, default=0.1)
+    p.add_argument("--lambda_Q_new", type=float, default=0.0)
+    p.add_argument("--lambda_V_new", type=float, default=0.0)
     p.add_argument("--use_class_hierarchy", action="store_true", default=True)
     # output
     p.add_argument("--output", default="snap/vqacl")

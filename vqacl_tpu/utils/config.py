@@ -93,10 +93,10 @@ class TrainConfig:
     from_scratch: bool = True
     seed: int = 66666                   # Question_type.py:2
     # loss weights for the SI memory regularizer (param.py:178-181)
-    lambda_Q: float = 0.05
-    lambda_V: float = 0.05
-    lambda_Q_new: float = 0.05
-    lambda_V_new: float = 0.05
+    lambda_Q: float = 0.01
+    lambda_V: float = 0.1
+    lambda_Q_new: float = 0.0
+    lambda_V_new: float = 0.0
     memory: bool = True                 # experience replay on
     # SI memory regularizer: the mechanism the λ flags weight. DEAD in
     # the shipped reference (memory=True never passed — SURVEY §2.5);
@@ -105,8 +105,10 @@ class TrainConfig:
     use_memory_loss: bool = False
     m_size: int = 5000                  # replay buffer size M
     comp_cate: str = "G-1"              # held-out category group ("G-1" = none)
+    # EMA coefficients (param.py:190-191); NExT-QA's train.sh overrides
+    # beta to 0.5 explicitly (nextqa/train.sh:12-14).
     proto_alpha: float = 0.5
-    proto_beta: float = 0.5
+    proto_beta: float = 0.3
     use_class_hierarchy: bool = True    # dual-level inner loop over G1..G5
 
 
