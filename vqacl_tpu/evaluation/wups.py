@@ -14,15 +14,20 @@ synsets, down-weighted ×0.1 when below the threshold (NExT-QA uses
 threshold 0.0 → no down-weighting, ``get_wups(..., 0)`` at
 nextqa_data.py:999-1008).
 
-WordNet corpora may be absent (offline images); then a degraded
-similarity (exact-token match) keeps the pipeline runnable and the
-limitation is surfaced via ``wordnet_available()``.
+When the WordNet corpus is absent (offline images — nltk data is not
+downloadable here), Wu-Palmer runs over the vendored WordNet subgraph in
+``evaluation.taxonomy`` (NExT-QA answer vocabulary, NLTK-equivalent
+algorithm); words outside that vocabulary degrade to exact-token match.
+The active backend is surfaced via ``wups_backend()`` and in the
+evaluator's returned dict.
 """
 
 from __future__ import annotations
 
 import functools
 from typing import Sequence
+
+from vqacl_tpu.evaluation import taxonomy
 
 _WN = None
 _WN_CHECKED = False
@@ -41,22 +46,30 @@ def wordnet_available() -> bool:
     return _WN is not None
 
 
+def wups_backend() -> str:
+    """Which word-similarity source WUPS is running on."""
+    return "nltk-wordnet" if wordnet_available() else "vendored-taxonomy"
+
+
 @functools.lru_cache(maxsize=65536)
 def word_similarity(a: str, b: str) -> float:
-    """Max Wu-Palmer similarity over synset pairs; exact-match fallback."""
+    """Max Wu-Palmer similarity over synset pairs.
+
+    Source order: real WordNet corpus → vendored taxonomy → exact match
+    (per word pair — a covered pair scores true Wu-Palmer even when its
+    neighbors in the sentence fall back)."""
     if a == b:
         return 1.0
-    if not wordnet_available():
-        return 0.0
-    sa = _WN.synsets(a)
-    sb = _WN.synsets(b)
-    best = 0.0
-    for x in sa:
-        for y in sb:
-            s = x.wup_similarity(y)
-            if s is not None and s > best:
-                best = s
-    return best
+    if wordnet_available():
+        best = 0.0
+        for x in _WN.synsets(a):
+            for y in _WN.synsets(b):
+                s = x.wup_similarity(y)
+                if s is not None and s > best:
+                    best = s
+        return best
+    s = taxonomy.word_similarity(a, b)
+    return 0.0 if s is None else s
 
 
 def _one_side(tokens_a: Sequence[str], tokens_b: Sequence[str],

@@ -147,7 +147,11 @@ class NextQAEvaluator:
                     cur = max(cur, get_wups(res_n, extra, 0))
             score += cur
         n = max(len(quesid2ans), 1)
-        return {"overall": 100.0 * score / n}
+        from vqacl_tpu.evaluation.wups import wups_backend
+        return {"overall": 100.0 * score / n,
+                # surface which similarity source scored this run
+                # (VERDICT r1: the degraded path must not be silent)
+                "wups_backend": wups_backend()}
 
 
 class NextQADataModule:
