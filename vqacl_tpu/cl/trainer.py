@@ -315,7 +315,8 @@ class VQACLTrainer:
     # ------------------------------------------------------------------
     def predict(self, loader: BatchLoader) -> Dict[Any, str]:
         """Greedy generation over a loader → {question_id: answer string}
-        (vqacl.py:586-624 without the Gloo all_gather).
+        (vqacl.py:586-624; the Gloo pickled-object all_gather at :613
+        becomes `merge_quesid2ans` — identity on one process).
 
         Software-pipelined: batch i+1's decode is dispatched before batch
         i's tokens are pulled to host, hiding the device→host transfer
@@ -339,6 +340,10 @@ class VQACLTrainer:
             pending = (tokens, batch["meta"])
         if pending is not None:
             drain(pending)
+        from vqacl_tpu.parallel.multihost import (merge_quesid2ans,
+                                                  process_count)
+        if process_count() > 1:
+            quesid2ans = merge_quesid2ans(quesid2ans)
         return quesid2ans
 
     def evaluate(self, loader: BatchLoader, task: str) -> Dict[str, float]:
