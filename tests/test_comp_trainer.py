@@ -47,6 +47,22 @@ def test_comp_matrices_filled(run):
     assert np.isfinite(out["comp"]["Avg_acc"])
 
 
+def test_comp_gate_is_key_membership():
+    """Reference gate: ``composition_test_cate in Category_splits``
+    (nextqa_CL.py:421) — G-1 AND any unknown key disable comp tests."""
+    from vqacl_tpu.cl.comp_trainer import comp_enabled
+    from vqacl_tpu.cl.tasks import CATEGORY_SPLITS
+    from vqacl_tpu.nextqa.data import NEXTQA_SPLITS
+
+    assert comp_enabled("G5", CATEGORY_SPLITS)
+    assert not comp_enabled("G-1", CATEGORY_SPLITS)
+    assert not comp_enabled("G9", CATEGORY_SPLITS)   # invalid key ≠ G-1
+    assert not comp_enabled(None, CATEGORY_SPLITS)
+    # NExT-QA groups are G0..G4: G5 is NOT a valid comp key there
+    assert comp_enabled("G0", NEXTQA_SPLITS)
+    assert not comp_enabled("G5", NEXTQA_SPLITS)
+
+
 def test_holdout_group_not_trained_after_first_task(run, capsys):
     """comp group must be skipped for tasks after the first trained one;
     verified via the trainer's metrics log (G5 absent for task 2)."""

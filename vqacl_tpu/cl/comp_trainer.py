@@ -26,6 +26,15 @@ from vqacl_tpu.cl.trainer import VQACLTrainer
 from vqacl_tpu.data.partition import group_loaders
 
 
+def comp_enabled(comp_cate: str, splits: Dict) -> bool:
+    """The reference's comp-test gate is *key membership*, not a G-1
+    sentinel: ``if self.composition_test_cate in Category_splits``
+    (nextqa_CL.py:421-423). Any value that is not a group key — the
+    shipped ``--comp_cate G-1`` included — disables comp/noncomp
+    testing."""
+    return comp_cate in splits
+
+
 class CompVQACLTrainer(VQACLTrainer):
     def __init__(self, *args, **kw):
         super().__init__(*args, **kw)

@@ -42,9 +42,12 @@ def main(argv=None) -> None:
                                         "add_reference_answer_test.json"))
     ctx = make_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
     dtype = jnp.bfloat16 if cfg.mesh.dtype == "bfloat16" else jnp.float32
-    # nextqa_CL.py also runs comp/noncomp tests per task (:420-423)
-    from vqacl_tpu.cl.comp_trainer import CompVQACLTrainer
-    cls = CompVQACLTrainer if cli.comp_cate not in ("G-1", None) \
+    # nextqa_CL.py runs comp/noncomp tests per task iff comp_cate is a
+    # real group key (:421-423: ``if composition_test_cate in
+    # Category_splits``); the shipped G-1 therefore disables them
+    from vqacl_tpu.cl.comp_trainer import CompVQACLTrainer, comp_enabled
+    from vqacl_tpu.nextqa.data import NEXTQA_SPLITS
+    cls = CompVQACLTrainer if comp_enabled(cli.comp_cate, NEXTQA_SPLITS) \
         else VQACLTrainer
     trainer = cls(cfg, data, tok, mesh_ctx=ctx, dtype=dtype)
     if cli.now_train:

@@ -15,7 +15,8 @@ import sys
 import jax.numpy as jnp
 
 from vqacl_tpu.cli.args import parse_config
-from vqacl_tpu.cl.comp_trainer import CompVQACLTrainer
+from vqacl_tpu.cl.comp_trainer import CompVQACLTrainer, comp_enabled
+from vqacl_tpu.cl.tasks import CATEGORY_SPLITS
 from vqacl_tpu.cl.trainer import VQACLTrainer
 from vqacl_tpu.data.tokenizer import VLT5Tokenizer
 from vqacl_tpu.data.vqa_module import VQADataModule
@@ -45,7 +46,7 @@ def main(argv=None) -> None:
         except Exception as e:  # offline images: fall back to scratch
             print(f"pretrained load failed ({e}); training from scratch")
 
-    cls = CompVQACLTrainer if cli.comp_cate not in ("G-1", None) \
+    cls = CompVQACLTrainer if comp_enabled(cli.comp_cate, CATEGORY_SPLITS) \
         else VQACLTrainer
     trainer = cls(cfg, data, tok, mesh_ctx=ctx, init_params=init_params,
                   dtype=dtype)
