@@ -106,3 +106,35 @@ def test_loss_eval_step(trained):
     batch = next(data.batches(16, seed=3))["tensors"]
     loss = float(step(state.params, state.proto, batch))
     assert np.isfinite(loss) and loss < 2.0  # trained model → low loss
+
+
+def test_fused_head_loss_matches_reference_chain():
+    """fused_head_loss (custom VJP) must equal lm_logits→weighted_lm_loss
+    in value AND in gradients wrt decoder hidden + shared embedding."""
+    from vqacl_tpu.models import t5
+    from vqacl_tpu.models.vlt5 import fused_head_loss, weighted_lm_loss
+
+    cfg = tiny_model_config(vocab_size=48)
+    rng = np.random.default_rng(5)
+    B, T, D = 4, 5, cfg.d_model
+    hidden = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    shared = jnp.asarray(rng.normal(size=(cfg.vocab_size, D)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(2, cfg.vocab_size, size=(B, T)))
+    labels = labels.at[1, 3:].set(-100).at[2, :].set(-100)
+    scores = jnp.asarray(rng.uniform(0.2, 1.0, size=(B,)).astype(np.float32))
+    rescale = cfg.d_model ** -0.5
+
+    def ref(h, s):
+        logits = t5.lm_logits(s, h * 1.0, cfg.d_model, True)
+        return weighted_lm_loss(logits, labels, scores)
+
+    def fused(h, s):
+        return fused_head_loss(h, s, labels, scores, rescale)
+
+    v_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1))(hidden, shared)
+    v_f, g_f = jax.value_and_grad(fused, argnums=(0, 1))(hidden, shared)
+    np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_ref[1]),
+                               rtol=1e-4, atol=1e-5)

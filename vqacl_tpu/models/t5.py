@@ -186,11 +186,16 @@ def multihead_attention(p: Params,
                         deterministic: bool = True,
                         rng=None,
                         kv_proj: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                        mask_add: Optional[jnp.ndarray] = None,
                         ) -> jnp.ndarray:
     """Unscaled T5 attention. q_in [B,Lq,D]; k_in/v_in [B,Lk,D].
 
     ``kv_proj`` lets the caller pass already-projected K/V (cross-attention
-    cache during generation).
+    cache during generation). ``mask_add`` is an optional second additive
+    term (the padding mask, [B,1,1,Lk]) kept SEPARATE from ``bias`` so the
+    combined [B,H,Lq,Lk] f32 tensor is never materialized in HBM — both
+    broadcasts fuse into the softmax (at bs80/S=58 the combined tensor is
+    129 MB read per layer, ~3 GB/step fwd+bwd).
     """
     B, Lq, D = q_in.shape
     dt = q_in.dtype
@@ -207,6 +212,8 @@ def multihead_attention(p: Params,
                         preferred_element_type=jnp.float32)
     if bias is not None:
         scores = scores + bias
+    if mask_add is not None:
+        scores = scores + mask_add
     w = jax.nn.softmax(scores, axis=-1)
     if not deterministic and dropout_rate > 0.0:
         w = dropout(rng, w, dropout_rate, deterministic=False)
@@ -243,11 +250,13 @@ def _split_rngs(rng, n):
 
 
 def encoder_block(p: Params, cfg, x: jnp.ndarray, bias: Optional[jnp.ndarray],
-                  deterministic: bool = True, rng=None) -> jnp.ndarray:
+                  deterministic: bool = True, rng=None,
+                  mask_add: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     r = _split_rngs(rng, 4)
     h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
     a = multihead_attention(p["attn"], h, h, h, bias, cfg.num_heads, cfg.d_kv,
-                            cfg.dropout_rate, deterministic, r[0])
+                            cfg.dropout_rate, deterministic, r[0],
+                            mask_add=mask_add)
     x = x + dropout(r[1], a, cfg.dropout_rate, deterministic)
     h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
     m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,
@@ -287,13 +296,16 @@ def encoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
                   position_bias: jnp.ndarray,
                   deterministic: bool = True, rng=None,
                   remat: bool = False,
-                  fused: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
+                  fused: Optional[Dict[str, Any]] = None,
+                  mask_add: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Encoder over precomputed embeddings.
 
-    Unfused: ``position_bias`` is the combined additive bias
-    [B_or_1, heads, L, L] (position bias + mask). Fused (``fused`` dict
-    with ``pos_bias`` [H,S,S] and ``mask`` [B,S], optional
-    ``interpret``): attention runs in the Pallas kernel.
+    Unfused: ``position_bias`` is the additive bias [1, heads, L, L];
+    the padding mask may either be folded into it (parity tests) or
+    passed separately as ``mask_add`` [B,1,1,L] so no [B,H,L,L] tensor
+    is ever materialized (production path). Fused (``fused`` dict with
+    ``pos_bias`` [H,S,S] and ``mask`` [B,S], optional ``interpret``):
+    attention runs in the Pallas kernel.
     """
     r = _split_rngs(rng, cfg.num_layers + 2)
     x = dropout(r[0], inputs_embeds, cfg.dropout_rate, deterministic)
@@ -320,7 +332,7 @@ def encoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
                 encoder_block, static_argnums=(1, 4), policy=None)
         for i in range(cfg.num_layers):
             x = block_fn(p[f"block_{i}"], cfg, x, position_bias,
-                         deterministic, r[i + 1])
+                         deterministic, r[i + 1], mask_add)
     x = layer_norm(p["final_ln"], x, cfg.layer_norm_epsilon)
     return dropout(r[-1], x, cfg.dropout_rate, deterministic)
 

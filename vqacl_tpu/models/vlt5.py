@@ -17,6 +17,7 @@ state is input/output, no Python control flow depends on data.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -54,14 +55,6 @@ def joint_pos_bias(params: Params, cfg, L: int, V_L: int) -> jnp.ndarray:
         max_distance=cfg.relative_attention_max_distance)      # [1,H,L,L]
     bias = jnp.zeros((1, cfg.num_heads, S, S), jnp.float32)
     return bias.at[:, :, :L, :L].set(text_bias)
-
-
-def joint_position_bias(params: Params, cfg, L: int, V_L: int,
-                        enc_mask: jnp.ndarray) -> jnp.ndarray:
-    """joint_pos_bias + padding mask as one additive term [B,H,S,S]."""
-    bias = joint_pos_bias(params, cfg, L, V_L)
-    mask4 = enc_mask[:, None, None, :]                          # [B,1,1,S]
-    return t5.attention_scores_bias(mask4, bias)
 
 
 def encode(params: Params, cfg,
@@ -103,10 +96,14 @@ def encode(params: Params, cfg,
                                   deterministic=deterministic, rng=rng,
                                   remat=remat, fused=fused)
     else:
-        bias = joint_position_bias(params, cfg, L, N, enc_mask)
-        hidden = t5.encoder_stack(params["encoder"], cfg, inputs, bias,
+        # pos bias [1,H,S,S] and padding mask [B,1,1,S] stay separate
+        # additive terms (fused per-layer) — materializing their sum is
+        # a [B,H,S,S] f32 HBM tensor read 12× fwd + 12× bwd
+        pos_bias = joint_pos_bias(params, cfg, L, N)
+        mask_add = t5.attention_scores_bias(enc_mask[:, None, None, :], None)
+        hidden = t5.encoder_stack(params["encoder"], cfg, inputs, pos_bias,
                                   deterministic=deterministic, rng=rng,
-                                  remat=remat)
+                                  remat=remat, mask_add=mask_add)
     return hidden, enc_mask
 
 
@@ -174,11 +171,11 @@ def augment(params: Params, cfg, hidden: jnp.ndarray, enc_mask: jnp.ndarray,
 # decoding (teacher-forced) + loss
 # ---------------------------------------------------------------------------
 
-def decode_train(params: Params, cfg, hidden: jnp.ndarray,
-                 enc_mask: jnp.ndarray, labels: jnp.ndarray,
-                 deterministic: bool = True, rng=None,
-                 dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
-    """Teacher-forced decode → f32 logits [B, T, vocab].
+def decode_hidden(params: Params, cfg, hidden: jnp.ndarray,
+                  enc_mask: jnp.ndarray, labels: jnp.ndarray,
+                  deterministic: bool = True, rng=None,
+                  dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+    """Teacher-forced decoder states [B, T, D] (pre-LM-head).
 
     ``labels`` uses -100 for padding (collate semantics,
     ``vqa_data_memory.py:366-368``); shifted right internally like HF.
@@ -186,8 +183,18 @@ def decode_train(params: Params, cfg, hidden: jnp.ndarray,
     dec_input_ids = t5.shift_right(labels, cfg.decoder_start_token_id,
                                    cfg.pad_token_id)
     dec_emb = t5.embed_tokens(params["shared"], dec_input_ids, dtype)
-    seq = t5.decoder_stack(params["decoder"], cfg, dec_emb, hidden, enc_mask,
-                           deterministic=deterministic, rng=rng, remat=remat)
+    return t5.decoder_stack(params["decoder"], cfg, dec_emb, hidden, enc_mask,
+                            deterministic=deterministic, rng=rng, remat=remat)
+
+
+def decode_train(params: Params, cfg, hidden: jnp.ndarray,
+                 enc_mask: jnp.ndarray, labels: jnp.ndarray,
+                 deterministic: bool = True, rng=None,
+                 dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+    """Teacher-forced decode → f32 logits [B, T, vocab]."""
+    seq = decode_hidden(params, cfg, hidden, enc_mask, labels,
+                        deterministic=deterministic, rng=rng, dtype=dtype,
+                        remat=remat)
     return t5.lm_logits(params["shared"], seq, cfg.d_model,
                         cfg.tie_word_embeddings)
 
@@ -212,6 +219,72 @@ def weighted_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     nll, mask = token_cross_entropy(logits, labels)
     per_seq = nll.sum(axis=1) / jnp.clip(mask.sum(axis=1), 1.0, None)
     return jnp.mean(per_seq * scores.astype(jnp.float32))
+
+
+def _token_weights(labels: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
+    """d(loss)/d(nll[b,t]) for the weighted-loss recipe: mask ×
+    score_b / (valid_b · B)."""
+    mask = (labels != -100).astype(jnp.float32)
+    denom = jnp.clip(mask.sum(axis=1, keepdims=True), 1.0, None)
+    B = labels.shape[0]
+    return mask * scores.astype(jnp.float32)[:, None] / (denom * B)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_head_loss(hidden: jnp.ndarray, shared: jnp.ndarray,
+                    labels: jnp.ndarray, scores: jnp.ndarray,
+                    rescale: float) -> jnp.ndarray:
+    """Tied LM head + weighted CE as ONE differentiable op.
+
+    Numerically identical to ``weighted_lm_loss(lm_logits(...), ...)``
+    (same f32 accumulation), but the backward pass never materializes the
+    f32 log-softmax or f32 d(logits): residuals are (hidden, lse[B,T]);
+    logits are recomputed in bwd (one extra [B·T,D]×[D,V] matmul — ~0.1 ms
+    on the MXU vs ~0.3 GB of saved f32 HBM traffic at bs 80) and the
+    probability/one-hot difference flows into the two grad matmuls in
+    bf16. Loss surface: modeling_t5_our.py:663-686 + vqa_model.py:46-54.
+    """
+    loss, _ = _fused_head_loss_fwd(hidden, shared, labels, scores, rescale)
+    return loss
+
+
+def _head_logits(hidden, shared, rescale):
+    h = hidden * jnp.asarray(rescale, hidden.dtype)
+    return jnp.einsum("btd,vd->btv", h, shared.astype(hidden.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _fused_head_loss_fwd(hidden, shared, labels, scores, rescale):
+    logits = _head_logits(hidden, shared, rescale)
+    lse = jax.nn.logsumexp(logits, axis=-1)                     # [B,T]
+    safe = jnp.clip(jnp.where(labels == -100, 0, labels), 0,
+                    logits.shape[-1] - 1)
+    ll = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    w = _token_weights(labels, scores)
+    loss = jnp.sum((lse - ll) * w)
+    return loss, (hidden, shared, labels, scores, lse)
+
+
+def _fused_head_loss_bwd(rescale, res, g):
+    hidden, shared, labels, scores, lse = res
+    logits = _head_logits(hidden, shared, rescale)              # recompute
+    p = jnp.exp(logits - lse[..., None])                        # softmax f32
+    safe = jnp.clip(jnp.where(labels == -100, 0, labels), 0,
+                    logits.shape[-1] - 1)
+    onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=jnp.float32)
+    w = _token_weights(labels, scores) * g
+    dlogits = ((p - onehot) * w[..., None]).astype(hidden.dtype)
+    dt = hidden.dtype
+    rs = jnp.asarray(rescale, dt)
+    dh = jnp.einsum("btv,vd->btd", dlogits, shared.astype(dt),
+                    preferred_element_type=jnp.float32).astype(dt) * rs
+    dshared = jnp.einsum("btv,btd->vd", dlogits, hidden * rs,
+                         preferred_element_type=jnp.float32
+                         ).astype(shared.dtype)
+    return dh, dshared, None, jnp.zeros_like(scores)
+
+
+fused_head_loss.defvjp(_fused_head_loss_fwd, _fused_head_loss_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -305,10 +378,12 @@ def forward_train(params: Params, cfg, batch: Dict[str, jnp.ndarray],
         zero = jnp.asarray(0.0, jnp.float32)
         aux = ProtoAux(zero, zero, jnp.asarray(-1.0), jnp.asarray(-1.0))
 
-    logits = decode_train(params, cfg, hidden, enc_mask, batch["target_ids"],
-                          deterministic=deterministic, rng=r_dec, dtype=dtype,
-                          remat=remat)
-    loss = weighted_lm_loss(logits, batch["target_ids"], batch["scores"])
+    seq = decode_hidden(params, cfg, hidden, enc_mask, batch["target_ids"],
+                        deterministic=deterministic, rng=r_dec, dtype=dtype,
+                        remat=remat)
+    rescale = cfg.d_model ** -0.5 if cfg.tie_word_embeddings else 1.0
+    loss = fused_head_loss(seq, params["shared"], batch["target_ids"],
+                           batch["scores"], rescale)
     if use_memory_loss:
         loss = loss + lambda_q * aux.loss_memory_q + lambda_v * aux.loss_memory_v
     return ForwardOut(loss=loss, proto_state=proto_state, aux=aux)
