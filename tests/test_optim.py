@@ -85,3 +85,74 @@ def test_multi_image_order_ids():
     assert h2.shape == h1.shape
     # different image-order embeddings → different activations
     assert float(jnp.abs(h2 - h1).max()) > 1e-5
+
+
+def test_scale_by_adam_lowmem_matches_optax_in_f32():
+    """With f32 moment storage the lowmem Adam is EXACTLY optax's."""
+    import optax
+
+    from vqacl_tpu.train.optim import scale_by_adam_lowmem
+
+    params = {"a": jnp.arange(6.0).reshape(2, 3) / 7.0,
+              "b": jnp.asarray([0.5, -2.0])}
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6)
+    low = scale_by_adam_lowmem(0.9, 0.999, 1e-6, moment_dtype=jnp.float32)
+    s_ref, s_low = ref.init(params), low.init(params)
+    g = {"a": jnp.ones((2, 3)) * 0.3, "b": jnp.asarray([1.0, -1.0])}
+    for _ in range(5):
+        u_ref, s_ref = ref.update(g, s_ref)
+        u_low, s_low = low.update(g, s_low)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(u_low[k]),
+                                       np.asarray(u_ref[k]),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_adam_bf16_moments_track_f32_training():
+    """bf16 moment storage must not change the loss trajectory beyond
+    rounding noise on a real (tiny) training run — the gate for using
+    --adam_dtype bfloat16 in benchmarks."""
+    import jax
+
+    from vqacl_tpu.data.collate import collate
+    from vqacl_tpu.data.synthetic import SyntheticVQA
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+    from vqacl_tpu.train.optim import make_transform
+    from vqacl_tpu.train.state import TrainState
+    from vqacl_tpu.train.step import make_train_step
+    from vqacl_tpu.utils.config import Config, tiny_model_config
+
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    cfg.train.lr = 5e-3
+    cfg.train.batch_size = 16
+
+    m = cfg.model
+    pool = SyntheticVQA(16, seed=3, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                        text_len=m.max_text_length, vocab_size=m.vocab_size,
+                        answer_vocab=8)
+    batch = collate(pool.examples, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                    max_text_length=m.max_text_length,
+                    target_max_length=m.target_max_length)["tensors"]
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = {}
+    for dtype_name in ("float32", "bfloat16"):
+        cfg.train.adam_dtype = dtype_name
+        params = init_vlt5_params(jax.random.PRNGKey(0), m)
+        tx = make_transform(cfg.train)
+        proto = ProtoState.create(m.n_ques_types, m.n_categories, m.d_model)
+        state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1))
+        step = make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
+        traj = []
+        for _ in range(60):
+            state, mtr = step(state, batch)
+            traj.append(float(mtr["loss"]))
+        losses[dtype_name] = traj
+
+    f32, bf16 = np.asarray(losses["float32"]), np.asarray(losses["bfloat16"])
+    assert f32[-1] < f32[0] * 0.5          # it actually trained
+    # trajectories agree to a fraction of the training signal
+    denom = max(f32[0] - f32[-1], 1e-3)
+    assert abs(f32[-1] - bf16[-1]) / denom < 0.05, (f32[-1], bf16[-1])

@@ -86,6 +86,51 @@ def dynamic_lr(step: jnp.ndarray, sched: jnp.ndarray, lr: float,
     raise ValueError(kind)
 
 
+def scale_by_adam_lowmem(b1: float, b2: float, eps: float,
+                         moment_dtype=jnp.bfloat16
+                         ) -> optax.GradientTransformation:
+    """optax.scale_by_adam with both moments stored in ``moment_dtype``.
+
+    All arithmetic stays f32 (moments are upcast, updated, downcast once
+    per step); only the HBM-resident state narrows. At t5-base the Adam
+    moments are 2×892 MB f32 — read+written every step, ~3.5 GB of the
+    step's traffic — so bf16 storage saves ~1.75 GB (~2.3 ms on a v5e).
+    Identical update rule to torch AdamW / optax (bias-corrected,
+    ``m̂/(√v̂+ε)``); storage rounding is the only difference. Gated by
+    ``cfg.train.adam_dtype`` (default float32 = exact reference parity).
+    """
+    def init(params):
+        z = lambda p: jnp.zeros(p.shape, moment_dtype)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=jax.tree.map(z, params),
+                                      nu=jax.tree.map(z, params))
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        c = count.astype(jnp.float32)
+        b1c = 1.0 - b1 ** c
+        b2c = 1.0 - b2 ** c
+
+        def one(g, m, v):
+            gf = g.astype(jnp.float32)
+            m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+            v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
+            out = (m2 / b1c) / (jnp.sqrt(v2 / b2c) + eps)
+            return out, m2.astype(moment_dtype), v2.astype(moment_dtype)
+
+        flat_u, treedef = jax.tree.flatten(updates)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        outs = [one(g, m, v) for g, m, v in zip(flat_u, flat_m, flat_v)]
+        new_u = treedef.unflatten([o[0] for o in outs])
+        new_m = treedef.unflatten([o[1] for o in outs])
+        new_v = treedef.unflatten([o[2] for o in outs])
+        return new_u, optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_transform(cfg_train, with_clip: bool = True
                    ) -> optax.GradientTransformation:
     """LR-less AdamW direction: clip → Adam moments (bias-corrected) →
@@ -95,9 +140,15 @@ def make_transform(cfg_train, with_clip: bool = True
     parts = []
     if with_clip:
         parts.append(optax.clip_by_global_norm(cfg_train.clip_grad_norm))
-    parts.append(optax.scale_by_adam(
-        b1=cfg_train.adam_beta1, b2=cfg_train.adam_beta2,
-        eps=cfg_train.adam_eps))
+    adam_dtype = getattr(cfg_train, "adam_dtype", "float32")
+    if adam_dtype in ("bfloat16", "bf16"):
+        parts.append(scale_by_adam_lowmem(
+            b1=cfg_train.adam_beta1, b2=cfg_train.adam_beta2,
+            eps=cfg_train.adam_eps, moment_dtype=jnp.bfloat16))
+    else:
+        parts.append(optax.scale_by_adam(
+            b1=cfg_train.adam_beta1, b2=cfg_train.adam_beta2,
+            eps=cfg_train.adam_eps))
     parts.append(optax.add_decayed_weights(cfg_train.weight_decay,
                                            mask=decay_mask))
     if cfg_train.freeze:

@@ -82,6 +82,8 @@ class TrainConfig:
     warmup_ratio: float = 0.1
     weight_decay: float = 0.01
     adam_eps: float = 1e-6
+    adam_dtype: str = "float32"      # Adam moment storage; "bfloat16" halves
+                                     # optimizer HBM state+traffic (optim.py)
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     clip_grad_norm: float = 5.0
