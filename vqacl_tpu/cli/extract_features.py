@@ -40,6 +40,9 @@ def main(argv=None) -> None:
     p.add_argument("--n_boxes", type=int, default=36)
     p.add_argument("--pack", action="store_true",
                    help="write native .vfpack instead of h5")
+    p.add_argument("--arrow", action="store_true",
+                   help="write Apache Arrow (the reference's "
+                        "inference/extracting_data.py schema)")
     p.add_argument("--boxes_json", default=None,
                    help="given-box mode ({img_id: [[x1,y1,x2,y2],...]}):"
                         " RoI features at the provided GT boxes instead of"
@@ -89,7 +92,10 @@ def main(argv=None) -> None:
                 rec = frcnn.extract_image(params, bgr, n_boxes=args.n_boxes)
             yield img_id, rec
 
-    if args.pack:
+    if args.arrow:
+        from vqacl_tpu.data.arrow_store import write_arrow
+        write_arrow(args.out, records(), n_boxes=args.n_boxes)
+    elif args.pack:
         from vqacl_tpu.data.packed_cache import write_pack
         write_pack(args.out,
                    ((i, r["features"], r["boxes"], r["img_h"], r["img_w"])
