@@ -1,0 +1,136 @@
+"""Component ablation of the train step on the real chip.
+
+Times (honest sync: device->host scalar per chunk, amortized) each
+nested subset of the full train iteration at the bench geometry
+(t5-base, bs 80), to localize where the measured-vs-roofline gap lives:
+
+  fwd_det        deterministic forward (no dropout)
+  fwd            forward with dropout (rbg key)
+  fwd_bwd        value_and_grad
+  fwd_bwd_opt    + clip/adam/wd update direction
+  full           the production train_step (incl. param update, donate)
+
+Usage: python scripts/profile_step.py [--chunk 10] [--chunks 3]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+
+from vqacl_tpu.data.collate import collate
+from vqacl_tpu.data.synthetic import SyntheticVQA
+from vqacl_tpu.models.prototype import ProtoState
+from vqacl_tpu.models.vlt5 import forward_train, init_vlt5_params
+from vqacl_tpu.train.optim import make_transform
+from vqacl_tpu.train.state import TrainState
+from vqacl_tpu.train.step import make_train_step
+from vqacl_tpu.utils.config import Config
+
+
+def timeit(fn, sync, chunks, chunk):
+    fn()  # compile
+    sync()
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        for _ in range(chunk):
+            fn()
+        sync()
+    return (time.perf_counter() - t0) / (chunks * chunk) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--chunks", type=int, default=3)
+    args = ap.parse_args()
+
+    cfg = Config()
+    m, tcfg = cfg.model, cfg.train
+    B = tcfg.batch_size
+
+    pool = SyntheticVQA(B, seed=0, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                        text_len=m.max_text_length, vocab_size=m.vocab_size,
+                        answer_vocab=64)
+    batch = collate(pool.examples, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                    max_text_length=m.max_text_length,
+                    target_max_length=m.target_max_length)["tensors"]
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = init_vlt5_params(jax.random.PRNGKey(0), m)
+    tx = make_transform(tcfg)
+    proto = ProtoState.create(m.n_ques_types, m.n_categories, m.d_model)
+    state = TrainState.create(params, tx, proto,
+                              jax.random.key(1, impl="rbg"))
+
+    def loss_fn(params, proto, batch, rng, det):
+        out = forward_train(params, m, batch, proto,
+                            proto_alpha=tcfg.proto_alpha,
+                            proto_beta=tcfg.proto_beta,
+                            use_prototype=True,
+                            deterministic=det, rng=rng, dtype=jnp.bfloat16)
+        return out.loss, (out.proto_state, out.aux)
+
+    rng = jax.random.key(1, impl="rbg")
+    res = {}
+
+    fwd_det = jax.jit(lambda p, pr, b: loss_fn(p, pr, b, None, True)[0])
+    out = [None]
+    res["fwd_det"] = timeit(
+        lambda: out.__setitem__(0, fwd_det(params, proto, batch)),
+        lambda: float(out[0]), args.chunks, args.chunk)
+
+    fwd = jax.jit(lambda p, pr, b, r: loss_fn(p, pr, b, r, False)[0])
+    res["fwd"] = timeit(
+        lambda: out.__setitem__(0, fwd(params, proto, batch, rng)),
+        lambda: float(out[0]), args.chunks, args.chunk)
+
+    gfn_det = jax.jit(lambda p, pr, b: jax.value_and_grad(
+        lambda q: loss_fn(q, pr, b, None, True)[0])(p))
+    res["fwd_bwd_det"] = timeit(
+        lambda: out.__setitem__(0, gfn_det(params, proto, batch)[0]),
+        lambda: float(out[0]), args.chunks, args.chunk)
+
+    gfn = jax.jit(lambda p, pr, b, r: jax.value_and_grad(
+        lambda q: loss_fn(q, pr, b, r, False)[0])(p))
+    res["fwd_bwd"] = timeit(
+        lambda: out.__setitem__(0, gfn(params, proto, batch, rng)[0]),
+        lambda: float(out[0]), args.chunks, args.chunk)
+
+    opt_state = tx.init(params)
+
+    def fbo(p, os_, pr, b, r):
+        l, g = jax.value_and_grad(lambda q: loss_fn(q, pr, b, r, False)[0])(p)
+        upd, os2 = tx.update(g, os_, p)
+        return l, upd, os2
+    fbo_j = jax.jit(fbo)
+    res["fwd_bwd_opt"] = timeit(
+        lambda: out.__setitem__(0, fbo_j(params, opt_state, proto, batch, rng)[0]),
+        lambda: float(out[0]), args.chunks, args.chunk)
+
+    train_step = make_train_step(cfg, tx, dtype=jnp.bfloat16)
+    st = [state]
+    mtr = [None]
+
+    def run_full():
+        st[0], mtr[0] = train_step(st[0], batch)
+    res["full"] = timeit(run_full, lambda: float(mtr[0]["loss"]),
+                         args.chunks, args.chunk)
+
+    for k, v in res.items():
+        print(f"{k:14s} {v:8.2f} ms")
+    print(f"bwd cost       {res['fwd_bwd'] - res['fwd']:8.2f} ms")
+    print(f"opt cost       {res['fwd_bwd_opt'] - res['fwd_bwd']:8.2f} ms")
+    print(f"update cost    {res['full'] - res['fwd_bwd_opt']:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
