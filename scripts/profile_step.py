@@ -71,12 +71,13 @@ def main():
     state = TrainState.create(params, tx, proto,
                               jax.random.key(1, impl="rbg"))
 
-    def loss_fn(params, proto, batch, rng, det):
+    def loss_fn(params, proto, batch, rng, det, remat=False):
         out = forward_train(params, m, batch, proto,
                             proto_alpha=tcfg.proto_alpha,
                             proto_beta=tcfg.proto_beta,
                             use_prototype=True,
-                            deterministic=det, rng=rng, dtype=jnp.bfloat16)
+                            deterministic=det, rng=rng, dtype=jnp.bfloat16,
+                            remat=remat)
         return out.loss, (out.proto_state, out.aux)
 
     rng = jax.random.key(1, impl="rbg")
@@ -105,6 +106,12 @@ def main():
         lambda: out.__setitem__(0, gfn(params, proto, batch, rng)[0]),
         lambda: float(out[0]), args.chunks, args.chunk)
 
+    gfn_dots = jax.jit(lambda p, pr, b, r: jax.value_and_grad(
+        lambda q: loss_fn(q, pr, b, r, False, remat="dots")[0])(p))
+    res["fwd_bwd_dots"] = timeit(
+        lambda: out.__setitem__(0, gfn_dots(params, proto, batch, rng)[0]),
+        lambda: float(out[0]), args.chunks, args.chunk)
+
     opt_state = tx.init(params)
 
     def fbo(p, os_, pr, b, r):
@@ -124,6 +131,20 @@ def main():
         st[0], mtr[0] = train_step(st[0], batch)
     res["full"] = timeit(run_full, lambda: float(mtr[0]["loss"]),
                          args.chunks, args.chunk)
+
+    cfg.train.adam_dtype = "bfloat16"
+    tx16 = make_transform(cfg.train)
+    # `full` donated the original param buffers — fresh copies here
+    params16 = jax.tree.map(jnp.copy, st[0].params)
+    state16 = TrainState.create(params16, tx16, proto,
+                                jax.random.key(2, impl="rbg"))
+    step16 = make_train_step(cfg, tx16, dtype=jnp.bfloat16)
+    st16 = [state16]
+
+    def run_16():
+        st16[0], mtr[0] = step16(st16[0], batch)
+    res["full_adam_bf16"] = timeit(run_16, lambda: float(mtr[0]["loss"]),
+                                   args.chunks, args.chunk)
 
     for k, v in res.items():
         print(f"{k:14s} {v:8.2f} ms")

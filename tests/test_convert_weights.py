@@ -193,12 +193,23 @@ def test_load_caffe2_pkl(tmp_path):
 
 
 @pytest.mark.slow
-def test_validate_features_end_to_end(tmp_path, capsys):
+def test_validate_features_end_to_end(tmp_path, capsys, monkeypatch):
     """SURVEY §7.2 step 7 harness, self-consistent: extract with
     converted-weight npz, compare against an h5 produced by the same
     weights → near-perfect IoU/cosine. Exercises npz load, the full
-    extraction pipeline, and the matching/scoring code as one system."""
+    extraction pipeline, and the matching/scoring code as one system.
+
+    The resize target is patched 800→64 (and pad buckets shrunk to
+    match): a full ResNet-101 over 800×1040 on the CPU test platform is
+    ~5 min per extraction and the harness runs four — the code paths are
+    identical at 64px, the wall-clock is ~100× lower."""
     from PIL import Image
+
+    orig_resize = frcnn.resize_shortest_edge
+    monkeypatch.setattr(
+        frcnn, "resize_shortest_edge",
+        lambda img, short=64, max_size=128: orig_resize(img, short, max_size))
+    monkeypatch.setattr(frcnn, "PAD_BUCKETS", (64, 96, 128))
 
     from vqacl_tpu.cli import validate_features
     from vqacl_tpu.data.features import write_h5

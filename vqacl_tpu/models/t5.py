@@ -249,6 +249,19 @@ def _split_rngs(rng, n):
     return list(jax.random.split(rng, n))
 
 
+def _maybe_checkpoint(fn, static_argnums, remat):
+    """remat: False = store everything; True/"full" = recompute the block
+    in bwd; "dots" = save matmul outputs only, recompute the elementwise
+    chains (LN/softmax/dropout/residual) — trades cheap VPU recompute for
+    HBM activation traffic."""
+    if not remat:
+        return fn
+    policy = None
+    if remat == "dots":
+        policy = jax.checkpoint_policies.dots_saveable
+    return jax.checkpoint(fn, static_argnums=static_argnums, policy=policy)
+
+
 def encoder_block(p: Params, cfg, x: jnp.ndarray, bias: Optional[jnp.ndarray],
                   deterministic: bool = True, rng=None,
                   mask_add: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -316,20 +329,14 @@ def encoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
                 dtype=jnp.int32)
         else:
             seeds = jnp.zeros((cfg.num_layers,), jnp.int32)
-        block_fn = encoder_block_fused
-        if remat:
-            block_fn = jax.checkpoint(encoder_block_fused,
-                                      static_argnums=(1, 6, 7))
+        block_fn = _maybe_checkpoint(encoder_block_fused, (1, 6, 7), remat)
         for i in range(cfg.num_layers):
             x = block_fn(p[f"block_{i}"], cfg, x, fused["pos_bias"],
                          fused["mask"], seeds[i:i + 1],
                          fused.get("interpret", False),
                          deterministic, r[i + 1])
     else:
-        block_fn = encoder_block
-        if remat:
-            block_fn = jax.checkpoint(
-                encoder_block, static_argnums=(1, 4), policy=None)
+        block_fn = _maybe_checkpoint(encoder_block, (1, 4), remat)
         for i in range(cfg.num_layers):
             x = block_fn(p[f"block_{i}"], cfg, x, position_bias,
                          deterministic, r[i + 1], mask_add)
@@ -388,9 +395,7 @@ def decoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
 
     r = _split_rngs(rng, cfg.num_decoder_layers + 2)
     x = dropout(r[0], inputs_embeds, cfg.dropout_rate, deterministic)
-    block_fn = decoder_block
-    if remat:
-        block_fn = jax.checkpoint(decoder_block, static_argnums=(1, 6))
+    block_fn = _maybe_checkpoint(decoder_block, (1, 6), remat)
     for i in range(cfg.num_decoder_layers):
         x = block_fn(p[f"block_{i}"], cfg, x, self_bias, enc_states,
                      cross_bias, deterministic, r[i + 1])
