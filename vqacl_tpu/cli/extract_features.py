@@ -31,9 +31,30 @@ def iter_images(image_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
         yield img_id, rgb[:, :, ::-1]  # BGR, caffe convention
 
 
+def iter_dataset_images(items) -> Iterator[Tuple[str, np.ndarray, object]]:
+    """(img_id, path, boxes|None) items → (img_id, BGR image, boxes)."""
+    from PIL import Image
+    for img_id, path, boxes in items:
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        yield img_id, rgb[:, :, ::-1], boxes
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--images", required=True)
+    p.add_argument("--images", default=None,
+                   help="plain image directory (the default driver)")
+    p.add_argument("--dataset", default=None,
+                   choices=["coco", "flickr30k", "vcr", "refcocog"],
+                   help="dataset-specific enumeration (the reference's "
+                        "per-dataset drivers: coco/flickr30k/vcr/refcocog)")
+    p.add_argument("--dataset_root", default=None)
+    p.add_argument("--split", default=None)
+    p.add_argument("--gt", action="store_true",
+                   help="use the dataset's GT boxes (the *_gt.py drivers) "
+                        "instead of RPN proposals")
+    p.add_argument("--coco_images", default=None,
+                   help="COCO image dir for refcocog (its images live in "
+                        "COCO train2014)")
     p.add_argument("--out", required=True)
     p.add_argument("--weights", default=None,
                    help="npz of converted detector weights (random if unset)")
@@ -66,13 +87,31 @@ def main(argv=None) -> None:
         with open(args.boxes_json) as f:
             given_boxes = json.load(f)
 
+    if args.dataset:
+        from vqacl_tpu.vision.datasets import enumerate_dataset
+        assert args.dataset_root, "--dataset needs --dataset_root"
+        source = iter_dataset_images(enumerate_dataset(
+            args.dataset, args.dataset_root, args.split, gt=args.gt,
+            coco_images_dir=args.coco_images))
+    else:
+        assert args.images, "need --images or --dataset"
+
+        def dir_source():
+            for img_id, bgr in iter_images(args.images):
+                if given_boxes is not None:
+                    if img_id not in given_boxes:
+                        continue
+                    yield img_id, bgr, np.asarray(given_boxes[img_id],
+                                                  np.float32)
+                else:
+                    yield img_id, bgr, None
+        source = dir_source()
+
     def records():
         import jax.numpy as jnp
-        for img_id, bgr in iter_images(args.images):
-            if given_boxes is not None:
-                if img_id not in given_boxes:
-                    continue
-                boxes = np.asarray(given_boxes[img_id], np.float32)
+        for img_id, bgr, boxes in source:
+            if boxes is not None:
+                boxes = np.asarray(boxes, np.float32)
                 pad = args.n_boxes - len(boxes)
                 if pad > 0:
                     boxes = np.concatenate(
