@@ -1,34 +1,31 @@
 """Pallas fused multi-head attention for the VL-T5 joint encoder.
 
-The unfused path materializes per-layer [B, H, S, S] f32 score/prob
-tensors through HBM (S=58 → ~13 MB × several round-trips × 12 layers
-per step). This kernel keeps the whole attention for one batch element
-in VMEM: scores + bias + softmax + weighted sum never touch HBM.
+The XLA path for ``t5.multihead_attention`` at this geometry (S=56,
+d_kv=64, bs 80) spends more on LAYOUT than on math: every layer
+physically transposes q/k/v [B,S,H,dk] → [B,H,S,dk] and the context
+back again (xprof: ~7 ms/step of ``data formatting`` copies + the
+copy-done staging they force), and round-trips [B,H,S,S] score/prob
+tensors plus their dropout masks through HBM in the backward pass.
 
-Shapes are tiny by design (S ≤ 64 after padding, d_kv=64), so the
-kernel processes ONE batch element per grid step with the head loop
-unrolled — traffic-, not FLOP-, bound. Backward is a second Pallas
-kernel (flash-style recompute of the probabilities) wired through
-``jax.custom_vjp``; the relative-position-bias gradient is accumulated
-across the batch grid dimension by revisiting the same output block.
+This kernel eliminates the layout domain entirely: it consumes q/k/v in
+the **matmul-native [B, S, H·dk] layout** (exactly what the projection
+GEMMs produce — no transpose, no reshape copies), slices each head's
+[S, dk] panel in VMEM, and runs scores + bias + mask + softmax (+
+in-kernel dropout from the TPU hardware PRNG) + weighted sum per batch
+element without touching HBM. The backward pass is a second kernel
+(flash-style: probabilities recomputed, dropout masks regenerated from
+the same per-(b,h) PRNG streams) wired through ``jax.custom_vjp``; the
+relative-position-bias gradient accumulates across the sequential batch
+grid. One HBM read of q/k/v and one write of o (and their mirrors in
+bwd) is all the attention traffic there is.
 
 Semantics match ``t5.multihead_attention`` exactly (unscaled T5
 attention, additive f32 bias = position bias + key-padding mask):
-verified in tests against the einsum reference, including in-kernel
-attention-prob dropout (deterministic per-(b,h) TPU PRNG streams,
-regenerated in the backward kernel).
+verified in tests against the einsum reference, fwd and grads.
 
 Note: in-kernel dropout uses the TPU hardware PRNG (``pltpu.prng_seed``)
 which has no CPU interpret-mode lowering — fused TRAINING (rate>0) is
 TPU-only; fused inference/deterministic paths run everywhere.
-
-MEASURED (v5e, t5-base geometry, bs 80): full train step 58.8 ms fused
-vs 55.8 ms unfused — at S=58 XLA already fuses the softmax chain well
-and the per-batch-element grid (80 × 12 unrolled 64×64 matmuls)
-under-fills the MXU, so the kernel does not pay off at this geometry
-and ``ModelConfig.fused_attention`` defaults to False. It becomes the
-right tool when sequences grow (video frames, multi-image) — the
-crossover is roughly S ≥ 256 where the [B,H,S,S] HBM traffic dominates.
 """
 
 from __future__ import annotations
@@ -63,42 +60,53 @@ def _dropout_mask(seed, b, h, H, shape, rate):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
-                *, H, dropout_rate):
-    """Per-batch-element block: q/k/v [H,S,dk], bias [H,S,S], mask [1,S]."""
+                *, H, dk, dropout_rate):
+    """Per-batch-element block: q/k/v/o [1,S,H*dk], bias [H,S,S],
+    mask [1,1,S]. Heads are [S,dk] panels of the minor dimension."""
     b = pl.program_id(0)
-    mask_row = mask_ref[0, 0, :]                  # [S]
-    neg = (1.0 - mask_row) * NEG_INF              # [S]
+    qf = q_ref[0]                                  # [S, HD]
+    kf = k_ref[0]
+    vf = v_ref[0]
+    neg = (1.0 - mask_ref[0, 0, :]) * NEG_INF      # [S]
+    outs = []
     for h in range(H):
-        q = q_ref[0, h].astype(jnp.float32)       # [S, dk]
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h]
+        sl = slice(h * dk, (h + 1) * dk)
+        q = qf[:, sl].astype(jnp.float32)          # [S, dk]
+        k = kf[:, sl].astype(jnp.float32)
+        v = vf[:, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)   # [S, S]
+            preferred_element_type=jnp.float32)    # [S, S]
         s = s + bias_ref[h] + neg[None, :]
         p = jax.nn.softmax(s, axis=-1)
         if dropout_rate > 0.0:
             keep = _dropout_mask(seed_ref[0], b, h, H, p.shape, dropout_rate)
             p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-        o_ref[0, h] = jax.lax.dot_general(
+        outs.append(jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dbias_ref, *, H, dropout_rate):
+                dq_ref, dk_ref, dv_ref, dbias_ref, *, H, dk, dropout_rate):
     b = pl.program_id(0)
-    mask_row = mask_ref[0, 0, :]
-    neg = (1.0 - mask_row) * NEG_INF
+    qf = q_ref[0]
+    kf = k_ref[0]
+    vf = v_ref[0]
+    dof = do_ref[0]
+    neg = (1.0 - mask_ref[0, 0, :]) * NEG_INF
+    dqs, dks, dvs, dbs = [], [], [], []
     for h in range(H):
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        do = do_ref[0, h].astype(jnp.float32)
+        sl = slice(h * dk, (h + 1) * dk)
+        q = qf[:, sl].astype(jnp.float32)
+        k = kf[:, sl].astype(jnp.float32)
+        v = vf[:, sl].astype(jnp.float32)
+        do = dof[:, sl].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s + bias_ref[h] + neg[None, :]
-        p = jax.nn.softmax(s, axis=-1)            # [S,S]
+        p = jax.nn.softmax(s, axis=-1)             # [S,S]
         if dropout_rate > 0.0:
             keep = _dropout_mask(seed_ref[0], b, h, H, p.shape, dropout_rate)
             pd = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
@@ -113,100 +121,101 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
         else:
             dp = dpd
         ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))  # [S,S]
-        dq_ref[0, h] = jax.lax.dot_general(
+        dqs.append(jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0, h] = jax.lax.dot_general(
+            preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
-        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+            preferred_element_type=jnp.float32))
+        dvs.append(dv)
+        dbs.append(ds)
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+    db = jnp.stack(dbs, axis=0)                    # [H,S,S]
 
-        # accumulate bias grad across the batch grid dimension
-        @pl.when(b == 0)
-        def _():
-            dbias_ref[h] = ds
+    # accumulate bias grad across the (sequential) batch grid dimension
+    @pl.when(b == 0)
+    def _():
+        dbias_ref[...] = db
 
-        @pl.when(b != 0)
-        def _():
-            dbias_ref[h] = dbias_ref[h] + ds
+    @pl.when(b != 0)
+    def _():
+        dbias_ref[...] = dbias_ref[...] + db
 
 
 def _seed_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate):
-    B, H, S, dk = q.shape
+def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H):
+    B, S, HD = q.shape
+    spec = pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H=H, dropout_rate=dropout_rate),
+        functools.partial(_fwd_kernel, H=H, dk=HD // H,
+                          dropout_rate=dropout_rate),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, S, dk), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, S, dk), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, S, dk), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, S, S), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _seed_spec(),
-        ],
-        out_specs=pl.BlockSpec((1, H, S, dk), lambda b: (b, 0, 0, 0),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((H, S, S), lambda b: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, S, dk), q.dtype),
+                  pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  _seed_spec()],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
         interpret=interpret,
     )(q, k, v, bias, mask, seed)
 
 
-def _call_bwd(q, k, v, bias, mask, seed, do, interpret, dropout_rate):
-    B, H, S, dk = q.shape
-    spec_qkv = pl.BlockSpec((1, H, S, dk), lambda b: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+def _call_bwd(q, k, v, bias, mask, seed, do, interpret, dropout_rate, H):
+    B, S, HD = q.shape
+    spec = pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, H=H, dropout_rate=dropout_rate),
+        functools.partial(_bwd_kernel, H=H, dk=HD // H,
+                          dropout_rate=dropout_rate),
         grid=(B,),
-        in_specs=[spec_qkv, spec_qkv, spec_qkv,
+        in_specs=[spec, spec, spec,
                   pl.BlockSpec((H, S, S), lambda b: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   _seed_spec(),
-                  spec_qkv],
-        out_specs=[spec_qkv, spec_qkv, spec_qkv,
+                  spec],
+        out_specs=[spec, spec, spec,
                    pl.BlockSpec((H, S, S), lambda b: (0, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B, H, S, dk), q.dtype),
-                   jax.ShapeDtypeStruct((B, H, S, dk), q.dtype),
-                   jax.ShapeDtypeStruct((B, H, S, dk), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), q.dtype),
                    jax.ShapeDtypeStruct((H, S, S), jnp.float32)],
         interpret=interpret,
     )(q, k, v, bias, mask, seed, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    interpret: bool, dropout_rate: float,
+                    interpret: bool, dropout_rate: float, H: int,
                     bias: jnp.ndarray, mask: jnp.ndarray,
                     seed: jnp.ndarray) -> jnp.ndarray:
-    """q/k/v [B,H,S,dk] (S multiple of 8, dk of 64 recommended);
-    bias [H,S,S] f32 (shared across batch — the T5 relative position
-    bias, trainable); mask [B,1,S] 1=attend; seed [1] int32 (per-layer
-    dropout stream; identical keep-masks are regenerated in the
-    backward kernel). → [B,H,S,dk]."""
-    return _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate)
+    """q/k/v [B,S,H*dk] in matmul-native layout (S multiple of 8);
+    bias [H,S,S] f32 (the trainable T5 relative position bias, shared
+    across batch); mask [B,1,S] 1=attend; seed [1] int32 (per-layer
+    dropout stream; identical keep-masks are regenerated in the backward
+    kernel). → [B,S,H*dk]."""
+    return _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H)
 
 
-def _vjp_fwd(q, k, v, interpret, dropout_rate, bias, mask, seed):
-    o = _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate)
+def _vjp_fwd(q, k, v, interpret, dropout_rate, H, bias, mask, seed):
+    o = _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H)
     return o, (q, k, v, bias, mask, seed)
 
 
-def _vjp_bwd(interpret, dropout_rate, res, do):
+def _vjp_bwd(interpret, dropout_rate, H, res, do):
     q, k, v, bias, mask, seed = res
     dq, dk, dv, dbias = _call_bwd(q, k, v, bias, mask, seed, do,
-                                  interpret, dropout_rate)
+                                  interpret, dropout_rate, H)
     return dq, dk, dv, dbias, None, None
 
 
@@ -218,21 +227,18 @@ def fused_encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             interpret: bool = False,
                             dropout_rate: float = 0.0,
                             seed: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Convenience wrapper handling S-padding to a sublane multiple.
-
-    q/k/v [B,S,H,dk] (the layout t5.multihead_attention produces),
-    pos_bias [H,S,S] f32, mask [B,S] → [B,S,H*dk].
-    """
+    """q/k/v [B,S,H,dk] (the projection output — reshaped flat for free,
+    never transposed), pos_bias [H,S,S] f32, mask [B,S] → [B,S,H*dk]."""
     B, S, H, dk = q.shape
+    HD = H * dk
     Sp = int(np.ceil(S / 8) * 8)
-    qt = _pad_to(jnp.transpose(q, (0, 2, 1, 3)), Sp, 2)
-    kt = _pad_to(jnp.transpose(k, (0, 2, 1, 3)), Sp, 2)
-    vt = _pad_to(jnp.transpose(v, (0, 2, 1, 3)), Sp, 2)
+    q2 = _pad_to(q.reshape(B, S, HD), Sp, 1)
+    k2 = _pad_to(k.reshape(B, S, HD), Sp, 1)
+    v2 = _pad_to(v.reshape(B, S, HD), Sp, 1)
     bias_p = _pad_to(_pad_to(pos_bias.astype(jnp.float32), Sp, 1), Sp, 2)
     mask_p = _pad_to(mask.astype(jnp.float32), Sp, 1)[:, None, :]  # [B,1,S]
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    o = fused_attention(qt, kt, vt, interpret, dropout_rate,
+    o = fused_attention(q2, k2, v2, interpret, dropout_rate, H,
                         bias_p, mask_p, seed)
-    o = jnp.transpose(o[:, :, :S, :], (0, 2, 1, 3))    # [B,S,H,dk]
-    return o.reshape(B, S, H * dk)
+    return o[:, :S, :]
