@@ -51,8 +51,11 @@ def main() -> None:
     from vqacl_tpu.train.step import make_eval_step, make_train_step
     from vqacl_tpu.utils.config import Config
 
+    from vqacl_tpu.utils.config import resolve_fused_attention
+
     cfg = Config()
     m = cfg.model
+    resolve_fused_attention(m, n_devices=len(jax.devices()))
     B = cfg.train.batch_size  # 80, reference VQACL_train.sh
 
     pool = SyntheticVQA(B, seed=0, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
@@ -90,16 +93,25 @@ def main() -> None:
     dt_train = (time.perf_counter() - t0) / (n_chunks * chunk)
     rate_train = B / dt_train
 
-    # ---- decode throughput ----
-    toks = eval_step(state.params, state.proto, batch)   # compile
+    # ---- decode throughput (reference eval protocol: valid_batch_size
+    # 100, VQACL_train.sh / param.py) ----
+    VB = cfg.train.valid_batch_size
+    vpool = SyntheticVQA(VB, seed=1, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                         text_len=m.max_text_length, vocab_size=m.vocab_size,
+                         answer_vocab=64)
+    vbatch = collate(vpool.examples, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                     max_text_length=m.max_text_length,
+                     target_max_length=m.target_max_length)["tensors"]
+    vbatch = {k: jnp.asarray(v) for k, v in vbatch.items()}
+    toks = eval_step(state.params, state.proto, vbatch)   # compile
     int(np.asarray(toks)[0, 0])
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         for _ in range(chunk):
-            toks = eval_step(state.params, state.proto, batch)
+            toks = eval_step(state.params, state.proto, vbatch)
         _ = int(np.asarray(toks)[0, 0])             # sync barrier
     dt_dec = (time.perf_counter() - t0) / (n_chunks * chunk)
-    rate_dec = B / dt_dec
+    rate_dec = VB / dt_dec
 
     combined = 1.0 / (1.0 / rate_train + 1.0 / rate_dec)
     n_chips = max(len(jax.devices()), 1)
@@ -116,6 +128,8 @@ def main() -> None:
             "train_step_ms": round(dt_train * 1e3, 2),
             "decode_step_ms": round(dt_dec * 1e3, 2),
             "batch_size": B,
+            "valid_batch_size": VB,
+            "fused_attention": bool(m.fused_attention is True),
             "n_chips": n_chips,
             "loss": loss_val,
         },

@@ -36,7 +36,7 @@ from vqacl_tpu.train.step import make_train_step
 from vqacl_tpu.utils.config import Config
 
 
-def timeit(fn, sync, chunks, chunk):
+def timeit(fn, sync, chunks, chunk, label=""):
     fn()  # compile
     sync()
     t0 = time.perf_counter()
@@ -44,7 +44,10 @@ def timeit(fn, sync, chunks, chunk):
         for _ in range(chunk):
             fn()
         sync()
-    return (time.perf_counter() - t0) / (chunks * chunk) * 1e3
+    ms = (time.perf_counter() - t0) / (chunks * chunk) * 1e3
+    if label:
+        print(f"{label:16s} {ms:8.2f} ms", flush=True)
+    return ms
 
 
 def main():
@@ -87,30 +90,35 @@ def main():
     out = [None]
     res["fwd_det"] = timeit(
         lambda: out.__setitem__(0, fwd_det(params, proto, batch)),
-        lambda: float(out[0]), args.chunks, args.chunk)
+        lambda: float(out[0]), args.chunks, args.chunk,
+        label="fwd_det")
 
     fwd = jax.jit(lambda p, pr, b, r: loss_fn(p, pr, b, r, False)[0])
     res["fwd"] = timeit(
         lambda: out.__setitem__(0, fwd(params, proto, batch, rng)),
-        lambda: float(out[0]), args.chunks, args.chunk)
+        lambda: float(out[0]), args.chunks, args.chunk,
+        label="fwd")
 
     gfn_det = jax.jit(lambda p, pr, b: jax.value_and_grad(
         lambda q: loss_fn(q, pr, b, None, True)[0])(p))
     res["fwd_bwd_det"] = timeit(
         lambda: out.__setitem__(0, gfn_det(params, proto, batch)[0]),
-        lambda: float(out[0]), args.chunks, args.chunk)
+        lambda: float(out[0]), args.chunks, args.chunk,
+        label="fwd_bwd_det")
 
     gfn = jax.jit(lambda p, pr, b, r: jax.value_and_grad(
         lambda q: loss_fn(q, pr, b, r, False)[0])(p))
     res["fwd_bwd"] = timeit(
         lambda: out.__setitem__(0, gfn(params, proto, batch, rng)[0]),
-        lambda: float(out[0]), args.chunks, args.chunk)
+        lambda: float(out[0]), args.chunks, args.chunk,
+        label="fwd_bwd")
 
     gfn_dots = jax.jit(lambda p, pr, b, r: jax.value_and_grad(
         lambda q: loss_fn(q, pr, b, r, False, remat="dots")[0])(p))
     res["fwd_bwd_dots"] = timeit(
         lambda: out.__setitem__(0, gfn_dots(params, proto, batch, rng)[0]),
-        lambda: float(out[0]), args.chunks, args.chunk)
+        lambda: float(out[0]), args.chunks, args.chunk,
+        label="fwd_bwd_dots")
 
     opt_state = tx.init(params)
 
@@ -121,7 +129,8 @@ def main():
     fbo_j = jax.jit(fbo)
     res["fwd_bwd_opt"] = timeit(
         lambda: out.__setitem__(0, fbo_j(params, opt_state, proto, batch, rng)[0]),
-        lambda: float(out[0]), args.chunks, args.chunk)
+        lambda: float(out[0]), args.chunks, args.chunk,
+        label="fwd_bwd_opt")
 
     train_step = make_train_step(cfg, tx, dtype=jnp.bfloat16)
     st = [state]
@@ -130,13 +139,14 @@ def main():
     def run_full():
         st[0], mtr[0] = train_step(st[0], batch)
     res["full"] = timeit(run_full, lambda: float(mtr[0]["loss"]),
-                         args.chunks, args.chunk)
+                         args.chunks, args.chunk, label="full")
 
     cfg.train.adam_dtype = "bfloat16"
     tx16 = make_transform(cfg.train)
     # `full` donated the original param buffers — fresh copies here
     params16 = jax.tree.map(jnp.copy, st[0].params)
-    state16 = TrainState.create(params16, tx16, proto,
+    proto16 = jax.tree.map(jnp.copy, st[0].proto)
+    state16 = TrainState.create(params16, tx16, proto16,
                                 jax.random.key(2, impl="rbg"))
     step16 = make_train_step(cfg, tx16, dtype=jnp.bfloat16)
     st16 = [state16]
@@ -144,7 +154,8 @@ def main():
     def run_16():
         st16[0], mtr[0] = step16(st16[0], batch)
     res["full_adam_bf16"] = timeit(run_16, lambda: float(mtr[0]["loss"]),
-                                   args.chunks, args.chunk)
+                                   args.chunks, args.chunk,
+                                   label="full_adam_bf16")
 
     for k, v in res.items():
         print(f"{k:14s} {v:8.2f} ms")

@@ -44,3 +44,22 @@ def test_yaml_roundtrip(tmp_path):
     assert cfg2.train.lr == 3e-4
     assert cfg2.train.m_size == 123
     assert cfg2.model.d_model == cfg.model.d_model
+
+
+def test_resolve_fused_attention_auto():
+    """auto → True only on single-device TPU; explicit values untouched."""
+    from vqacl_tpu.utils.config import (ModelConfig,
+                                        resolve_fused_attention)
+
+    m = ModelConfig()
+    assert m.fused_attention == "auto"
+    resolve_fused_attention(m, n_devices=1)   # CPU test env → False
+    assert m.fused_attention is False
+
+    m = ModelConfig(fused_attention=True)
+    resolve_fused_attention(m, n_devices=8)
+    assert m.fused_attention is True          # explicit wins
+
+    m = ModelConfig()
+    resolve_fused_attention(m, n_devices=8)   # multi-device → False
+    assert m.fused_attention is False

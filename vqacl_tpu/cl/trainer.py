@@ -73,6 +73,9 @@ class VQACLTrainer:
         self.tasks: List[str] = list(data.tasks)
         self.ctx = mesh_ctx or make_mesh()
         self.dtype = dtype or jnp.bfloat16
+        from vqacl_tpu.utils.config import resolve_fused_attention
+        resolve_fused_attention(cfg.model,
+                                n_devices=self.ctx.mesh.devices.size)
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         params = init_params if init_params is not None else \

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adam_eps", type=float, default=1e-6)
     p.add_argument("--adam_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--fused_attention", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas fused encoder attention (auto: on for "
+                        "single-device TPU runs)")
     p.add_argument("--clip_grad_norm", type=float, default=5.0)
     p.add_argument("--batch_size", type=int, default=80)
     p.add_argument("--valid_batch_size", type=int, default=100)
@@ -106,6 +110,8 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     t.weight_decay = args.weight_decay
     t.adam_eps = args.adam_eps
     t.adam_dtype = args.adam_dtype
+    cfg.model.fused_attention = {"auto": "auto", "on": True,
+                                 "off": False}[args.fused_attention]
     t.clip_grad_norm = args.clip_grad_norm
     t.batch_size = args.batch_size
     t.valid_batch_size = args.valid_batch_size

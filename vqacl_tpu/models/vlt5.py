@@ -88,7 +88,8 @@ def encode(params: Params, cfg,
         dtype=dtype)
     inputs = jnp.concatenate([text_emb, vis_emb], axis=1)       # [B, S, D]
 
-    if getattr(cfg, "fused_attention", False):
+    if getattr(cfg, "fused_attention", False) is True:   # "auto" = not yet
+                                                         # resolved → XLA path
         fused = {"pos_bias": joint_pos_bias(params, cfg, L, N)[0],
                  "mask": enc_mask,
                  "interpret": getattr(cfg, "fused_interpret", False)}

@@ -62,7 +62,13 @@ class ModelConfig:
     use_prototype: bool = True
 
     # --- TPU kernel options ---
-    fused_attention: bool = False    # Pallas fused encoder attention
+    # Pallas fused encoder attention: True / False / "auto".
+    # "auto" resolves (resolve_fused_attention) to True on a single-device
+    # TPU and False elsewhere: the kernel has no CPU lowering for its
+    # in-kernel dropout PRNG, and a pallas_call is not GSPMD-partitionable
+    # so multi-chip meshes keep the XLA einsum path. encode() treats only
+    # a strict True as enabled.
+    fused_attention: object = "auto"
     fused_interpret: bool = False    # interpret mode (CPU tests)
 
     @property
@@ -196,3 +202,22 @@ def tiny_model_config(**overrides) -> ModelConfig:
     )
     base.update(overrides)
     return ModelConfig(**base)
+
+
+def resolve_fused_attention(model_cfg: ModelConfig,
+                            n_devices: int = 1) -> None:
+    """Resolve ``fused_attention="auto"`` in place.
+
+    True only on a single-device TPU backend: the Pallas kernel's
+    in-kernel dropout needs the TPU PRNG (no CPU interpret lowering),
+    and a ``pallas_call`` cannot be GSPMD-partitioned over a dp mesh, so
+    multi-device layouts keep the XLA einsum attention."""
+    if model_cfg.fused_attention != "auto":
+        return
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:                 # pragma: no cover
+        backend = "cpu"
+    model_cfg.fused_attention = bool(
+        backend in ("tpu", "axon") and n_devices == 1)
