@@ -58,6 +58,8 @@ def main():
 
     cfg = Config()
     m, tcfg = cfg.model, cfg.train
+    from vqacl_tpu.utils.config import resolve_fused_attention
+    resolve_fused_attention(m, n_devices=len(jax.devices()))
     B = tcfg.batch_size
 
     pool = SyntheticVQA(B, seed=0, feat_dim=m.feat_dim, n_boxes=m.n_boxes,

@@ -39,6 +39,8 @@ def main():
 
     cfg = Config()
     m = cfg.model
+    from vqacl_tpu.utils.config import resolve_fused_attention
+    resolve_fused_attention(m, n_devices=len(jax.devices()))
     B = cfg.train.batch_size
     pool = SyntheticVQA(B, seed=0, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
                         text_len=m.max_text_length, vocab_size=m.vocab_size,

@@ -90,3 +90,38 @@ def test_encode_fused_matches_unfused():
     np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(m_fused), np.asarray(m_ref))
+
+
+def test_text_block_bias_matches_zero_padded_full(rng):
+    """pos_bias [H,L,L] (text-text block, the production joint-encoder
+    path) must equal a full [H,S,S] bias that is zero outside the block —
+    forward AND gradients (incl. the block-only dbias)."""
+    B, S, L, H, dk = 2, 56, 20, 4, 16
+    q = jnp.asarray(rng.normal(size=(B, S, H, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, dk)).astype(np.float32))
+    bias_blk = jnp.asarray(rng.normal(size=(H, L, L)).astype(np.float32))
+    full = jnp.zeros((H, S, S)).at[:, :L, :L].set(bias_blk)
+    mask = np.ones((B, S), np.float32)
+    mask[1, 40:] = 0.0
+    mask = jnp.asarray(mask)
+
+    def loss_blk(q, k, v, b):
+        o = fused_encoder_attention(q, k, v, b, mask, interpret=True)
+        return jnp.sum(o * jnp.sin(o))
+
+    def loss_ref(q, k, v, b):
+        o = reference_attention(q, k, v, b, mask)
+        return jnp.sum(o * jnp.sin(o))
+
+    v_blk, g_blk = jax.value_and_grad(loss_blk, argnums=(0, 1, 2, 3))(
+        q, k, v, bias_blk)
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        q, k, v, full)
+    np.testing.assert_allclose(float(v_blk), float(v_ref), rtol=2e-5)
+    for a, b in zip(g_blk[:3], g_ref[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_blk[3]),
+                               np.asarray(g_ref[3][:, :L, :L]),
+                               rtol=2e-4, atol=2e-4)

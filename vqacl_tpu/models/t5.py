@@ -408,7 +408,10 @@ def decoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def embed_tokens(shared: jnp.ndarray, ids: jnp.ndarray, dtype) -> jnp.ndarray:
-    return jnp.asarray(shared).astype(dtype)[ids]
+    # gather THEN cast: casting the table first makes XLA materialize a
+    # full [vocab, d] bf16 copy (and convert the whole table back in the
+    # scatter VJP) just to read a few hundred rows
+    return jnp.asarray(shared)[ids].astype(dtype)
 
 
 def lm_logits(shared: jnp.ndarray, hidden: jnp.ndarray, d_model: int,

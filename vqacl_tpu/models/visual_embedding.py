@@ -81,7 +81,7 @@ def apply_visual_embedding(p: Params, cfg, shared: jnp.ndarray,
         # reference maps obj order i → vocab row (V - i - 1): the
         # <vis_extra_id_*> block at the top of the shared embedding
         inv_ids = cfg.vocab_size - obj_order_ids - 1
-        vis = vis + jnp.asarray(shared).astype(dtype)[inv_ids]
+        vis = vis + jnp.asarray(shared)[inv_ids].astype(dtype)
 
     if "joint_ln" in p:
         vis = layer_norm(p["joint_ln"], vis, cfg.layer_norm_epsilon)

@@ -90,7 +90,14 @@ def encode(params: Params, cfg,
 
     if getattr(cfg, "fused_attention", False) is True:   # "auto" = not yet
                                                          # resolved → XLA path
-        fused = {"pos_bias": joint_pos_bias(params, cfg, L, N)[0],
+        # text-text block only: the joint bias is structurally zero
+        # elsewhere (modeling_t5_our.py:258-273), so the kernel never
+        # moves the [H,S,S] zeros (or their gradients) through HBM
+        text_bias = t5.compute_position_bias(
+            params["encoder"]["rel_bias"], L, L, bidirectional=True,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance)[0]  # [H,L,L]
+        fused = {"pos_bias": text_bias,
                  "mask": enc_mask,
                  "interpret": getattr(cfg, "fused_interpret", False)}
         hidden = t5.encoder_stack(params["encoder"], cfg, inputs, None,

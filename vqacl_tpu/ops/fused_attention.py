@@ -60,13 +60,16 @@ def _dropout_mask(seed, b, h, H, shape, rate):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
-                *, H, dk, dropout_rate):
-    """Per-batch-element block: q/k/v/o [1,S,H*dk], bias [H,S,S],
-    mask [1,1,S]. Heads are [S,dk] panels of the minor dimension."""
+                *, H, dk, L, dropout_rate):
+    """Per-batch-element block: q/k/v/o [1,S,H*dk], bias [H,Lp,Lp] (the
+    text-text block only — the joint-encoder bias is structurally zero
+    elsewhere, modeling_t5_our.py:258-273), mask [1,1,S]. Heads are
+    [S,dk] panels of the minor dimension."""
     b = pl.program_id(0)
     qf = q_ref[0]                                  # [S, HD]
     kf = k_ref[0]
     vf = v_ref[0]
+    S = qf.shape[0]
     neg = (1.0 - mask_ref[0, 0, :]) * NEG_INF      # [S]
     outs = []
     for h in range(H):
@@ -77,7 +80,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [S, S]
-        s = s + bias_ref[h] + neg[None, :]
+        if L == S:
+            s = s + bias_ref[h][:S, :S]
+        else:
+            s = s.at[:L, :L].add(bias_ref[h][:L, :L])
+        s = s + neg[None, :]
         p = jax.nn.softmax(s, axis=-1)
         if dropout_rate > 0.0:
             keep = _dropout_mask(seed_ref[0], b, h, H, p.shape, dropout_rate)
@@ -89,12 +96,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dbias_ref, *, H, dk, dropout_rate):
+                dq_ref, dk_ref, dv_ref, dbias_ref, *, H, dk, L, dropout_rate):
     b = pl.program_id(0)
     qf = q_ref[0]
     kf = k_ref[0]
     vf = v_ref[0]
     dof = do_ref[0]
+    S = qf.shape[0]
+    Lp = dbias_ref.shape[-1]
     neg = (1.0 - mask_ref[0, 0, :]) * NEG_INF
     dqs, dks, dvs, dbs = [], [], [], []
     for h in range(H):
@@ -105,7 +114,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
         do = dof[:, sl].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s + bias_ref[h] + neg[None, :]
+        if L == S:
+            s = s + bias_ref[h][:S, :S]
+        else:
+            s = s.at[:L, :L].add(bias_ref[h][:L, :L])
+        s = s + neg[None, :]
         p = jax.nn.softmax(s, axis=-1)             # [S,S]
         if dropout_rate > 0.0:
             keep = _dropout_mask(seed_ref[0], b, h, H, p.shape, dropout_rate)
@@ -128,11 +141,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
         dvs.append(dv)
-        dbs.append(ds)
+        dbs.append(ds[:L, :L])
     dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
     dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
-    db = jnp.stack(dbs, axis=0)                    # [H,S,S]
+    db = jnp.stack(dbs, axis=0)                    # [H,L,L]
+    if L < Lp:
+        db = jnp.zeros((H, Lp, Lp), jnp.float32).at[:, :L, :L].set(db)
 
     # accumulate bias grad across the (sequential) batch grid dimension
     @pl.when(b == 0)
@@ -148,16 +163,17 @@ def _seed_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H):
+def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L):
     B, S, HD = q.shape
+    Lp = bias.shape[-1]
     spec = pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H=H, dk=HD // H,
+        functools.partial(_fwd_kernel, H=H, dk=HD // H, L=L,
                           dropout_rate=dropout_rate),
         grid=(B,),
         in_specs=[spec, spec, spec,
-                  pl.BlockSpec((H, S, S), lambda b: (0, 0, 0),
+                  pl.BlockSpec((H, Lp, Lp), lambda b: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -168,54 +184,56 @@ def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H):
     )(q, k, v, bias, mask, seed)
 
 
-def _call_bwd(q, k, v, bias, mask, seed, do, interpret, dropout_rate, H):
+def _call_bwd(q, k, v, bias, mask, seed, do, interpret, dropout_rate, H, L):
     B, S, HD = q.shape
+    Lp = bias.shape[-1]
     spec = pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((H, Lp, Lp), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, H=H, dk=HD // H,
+        functools.partial(_bwd_kernel, H=H, dk=HD // H, L=L,
                           dropout_rate=dropout_rate),
         grid=(B,),
-        in_specs=[spec, spec, spec,
-                  pl.BlockSpec((H, S, S), lambda b: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[spec, spec, spec, bias_spec,
                   pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   _seed_spec(),
                   spec],
-        out_specs=[spec, spec, spec,
-                   pl.BlockSpec((H, S, S), lambda b: (0, 0, 0),
-                                memory_space=pltpu.VMEM)],
+        out_specs=[spec, spec, spec, bias_spec],
         out_shape=[jax.ShapeDtypeStruct((B, S, HD), q.dtype),
                    jax.ShapeDtypeStruct((B, S, HD), q.dtype),
                    jax.ShapeDtypeStruct((B, S, HD), q.dtype),
-                   jax.ShapeDtypeStruct((H, S, S), jnp.float32)],
+                   jax.ShapeDtypeStruct((H, Lp, Lp), jnp.float32)],
         interpret=interpret,
     )(q, k, v, bias, mask, seed, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    interpret: bool, dropout_rate: float, H: int,
+                    interpret: bool, dropout_rate: float, H: int, L: int,
                     bias: jnp.ndarray, mask: jnp.ndarray,
                     seed: jnp.ndarray) -> jnp.ndarray:
     """q/k/v [B,S,H*dk] in matmul-native layout (S multiple of 8);
-    bias [H,S,S] f32 (the trainable T5 relative position bias, shared
-    across batch); mask [B,1,S] 1=attend; seed [1] int32 (per-layer
-    dropout stream; identical keep-masks are regenerated in the backward
-    kernel). → [B,S,H*dk]."""
-    return _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H)
+    bias [H,Lp,Lp] f32 — the additive bias for the FIRST ``L`` query/key
+    positions only (the T5 relative bias lives on the text-text block;
+    the rest of the joint-encoder bias is structurally zero, so neither
+    the zeros nor their gradients ever move through HBM); mask [B,1,S]
+    1=attend; seed [1] int32 (per-layer dropout stream; identical keep
+    masks are regenerated in the backward kernel). → [B,S,H*dk]."""
+    return _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate,
+                     H, L)
 
 
-def _vjp_fwd(q, k, v, interpret, dropout_rate, H, bias, mask, seed):
-    o = _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H)
+def _vjp_fwd(q, k, v, interpret, dropout_rate, H, L, bias, mask, seed):
+    o = _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L)
     return o, (q, k, v, bias, mask, seed)
 
 
-def _vjp_bwd(interpret, dropout_rate, H, res, do):
+def _vjp_bwd(interpret, dropout_rate, H, L, res, do):
     q, k, v, bias, mask, seed = res
     dq, dk, dv, dbias = _call_bwd(q, k, v, bias, mask, seed, do,
-                                  interpret, dropout_rate, H)
+                                  interpret, dropout_rate, H, L)
     return dq, dk, dv, dbias, None, None
 
 
@@ -228,17 +246,21 @@ def fused_encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             dropout_rate: float = 0.0,
                             seed: jnp.ndarray | None = None) -> jnp.ndarray:
     """q/k/v [B,S,H,dk] (the projection output — reshaped flat for free,
-    never transposed), pos_bias [H,S,S] f32, mask [B,S] → [B,S,H*dk]."""
+    never transposed), pos_bias [H,L,L] f32 covering the first L
+    positions (pass [H,S,S] for a full bias), mask [B,S] → [B,S,H*dk]."""
     B, S, H, dk = q.shape
     HD = H * dk
+    L = pos_bias.shape[-1]
+    assert L <= S, (L, S)
     Sp = int(np.ceil(S / 8) * 8)
+    Lp = int(np.ceil(L / 8) * 8)
     q2 = _pad_to(q.reshape(B, S, HD), Sp, 1)
     k2 = _pad_to(k.reshape(B, S, HD), Sp, 1)
     v2 = _pad_to(v.reshape(B, S, HD), Sp, 1)
-    bias_p = _pad_to(_pad_to(pos_bias.astype(jnp.float32), Sp, 1), Sp, 2)
+    bias_p = _pad_to(_pad_to(pos_bias.astype(jnp.float32), Lp, 1), Lp, 2)
     mask_p = _pad_to(mask.astype(jnp.float32), Sp, 1)[:, None, :]  # [B,1,S]
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    o = fused_attention(q2, k2, v2, interpret, dropout_rate, H,
+    o = fused_attention(q2, k2, v2, interpret, dropout_rate, H, L,
                         bias_p, mask_p, seed)
     return o[:, :S, :]
