@@ -41,6 +41,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _add_block(s: jnp.ndarray, blk: jnp.ndarray, L: int) -> jnp.ndarray:
+    """s[:L,:L] += blk via slice+concat (Mosaic has no scatter-add)."""
+    S = s.shape[0]
+    if L == S:
+        return s + blk[:S, :S]
+    top = jnp.concatenate([s[:L, :L] + blk[:L, :L], s[:L, L:]], axis=1)
+    return jnp.concatenate([top, s[L:, :]], axis=0)
+
+
+def _pad_block(db: jnp.ndarray, H: int, L: int, Lp: int) -> jnp.ndarray:
+    """[H,L,L] → [H,Lp,Lp] zero-padded via concat (no scatter)."""
+    if L == Lp:
+        return db
+    db = jnp.concatenate(
+        [db, jnp.zeros((H, L, Lp - L), db.dtype)], axis=2)
+    return jnp.concatenate(
+        [db, jnp.zeros((H, Lp - L, Lp), db.dtype)], axis=1)
+
+
 def _pad_to(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -80,10 +99,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [S, S]
-        if L == S:
-            s = s + bias_ref[h][:S, :S]
-        else:
-            s = s.at[:L, :L].add(bias_ref[h][:L, :L])
+        s = _add_block(s, bias_ref[h], L)
         s = s + neg[None, :]
         p = jax.nn.softmax(s, axis=-1)
         if dropout_rate > 0.0:
@@ -114,10 +130,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
         do = dof[:, sl].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if L == S:
-            s = s + bias_ref[h][:S, :S]
-        else:
-            s = s.at[:L, :L].add(bias_ref[h][:L, :L])
+        s = _add_block(s, bias_ref[h], L)
         s = s + neg[None, :]
         p = jax.nn.softmax(s, axis=-1)             # [S,S]
         if dropout_rate > 0.0:
@@ -145,9 +158,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
     dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
     dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
-    db = jnp.stack(dbs, axis=0)                    # [H,L,L]
-    if L < Lp:
-        db = jnp.zeros((H, Lp, Lp), jnp.float32).at[:, :L, :L].set(db)
+    db = _pad_block(jnp.stack(dbs, axis=0), H, L, Lp)   # [H,Lp,Lp]
 
     # accumulate bias grad across the (sequential) batch grid dimension
     @pl.when(b == 0)
