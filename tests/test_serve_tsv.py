@@ -75,3 +75,25 @@ def test_tsv_roundtrip(tmp_path, rng):
     f, b = store.get("COCO_test_1")
     np.testing.assert_allclose(f, feats)
     assert b.max() <= 1.0
+
+
+def test_subset_h5(tmp_path):
+    """coco_val_compact.py parity: subset an h5 by id list (dict or str)."""
+    import numpy as np
+
+    from vqacl_tpu.data.features import subset_h5, write_h5
+
+    src = str(tmp_path / "all.h5")
+    recs = [(f"img_{i}", {"features": np.full((4, 8), i, np.float32),
+                          "boxes": np.ones((4, 4), np.float32),
+                          "img_h": 10, "img_w": 12}) for i in range(5)]
+    write_h5(src, recs)
+    dst = str(tmp_path / "subset.h5")
+    n = subset_h5(src, dst, [{"img_id": "img_1"}, "img_3", "img_9"])
+    assert n == 2
+    import h5py
+    with h5py.File(dst) as f:
+        assert set(f.keys()) == {"img_1", "img_3"}
+        assert f["img_1/features"][()][0, 0] == 1.0
+        assert set(f["img_3"].keys()) == set(
+            dict(recs)["img_3"].keys())

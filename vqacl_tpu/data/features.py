@@ -112,3 +112,26 @@ def write_h5(path: str, records: Iterable[Tuple[str, dict]]) -> None:
             for k in ("obj_id", "obj_conf", "attr_id", "attr_conf"):
                 if k in rec:
                     g[k] = np.asarray(rec[k])
+
+
+def subset_h5(src_path: str, dst_path: str, img_ids) -> int:
+    """Copy the named image groups from one feature h5 into a new one.
+
+    Port of ``feature_extraction/coco_val_compact.py`` (subset
+    ``val2014_obj36.h5`` to the LXMERT resplit-val ids). ``img_ids`` may
+    be an iterable of ids or of dicts with an ``img_id`` key (the
+    ``mscoco_resplit_val.json`` record shape). Returns groups copied;
+    ids absent from the source are skipped."""
+    import h5py
+
+    n = 0
+    with h5py.File(src_path, "r") as src, h5py.File(dst_path, "w") as dst:
+        for item in img_ids:
+            img_id = item["img_id"] if isinstance(item, dict) else str(item)
+            if img_id not in src:
+                continue
+            grp = dst.create_group(img_id)
+            for k in src[img_id]:
+                grp[k] = src[f"{img_id}/{k}"][()]
+            n += 1
+    return n
