@@ -42,12 +42,24 @@ NEG_INF = -1e9
 
 
 def _add_block(s: jnp.ndarray, blk: jnp.ndarray, L: int) -> jnp.ndarray:
-    """s[:L,:L] += blk via slice+concat (Mosaic has no scatter-add)."""
+    """s[:Lp,:Lp] += blk, where blk [Lp,Lp] is zero beyond row/col L.
+
+    Implemented as zero-extension of ``blk`` to [S,S] followed by one
+    add: Mosaic has no scatter-add, and concatenating *slices of s*
+    trips its aligned-offset rules — fresh zero operands concat fine.
+    (Head-pair block-diagonal dot packing was also tried here to fill
+    the MXU: measured no gain over the serial per-head dots, which
+    Mosaic already pipelines — reverted for simplicity.)"""
+    del L
     S = s.shape[0]
-    if L == S:
+    Lp = blk.shape[0]
+    if Lp >= S:
         return s + blk[:S, :S]
-    top = jnp.concatenate([s[:L, :L] + blk[:L, :L], s[:L, L:]], axis=1)
-    return jnp.concatenate([top, s[L:, :]], axis=0)
+    right = jnp.zeros((Lp, S - Lp), blk.dtype)
+    bottom = jnp.zeros((S - Lp, S), blk.dtype)
+    bpad = jnp.concatenate(
+        [jnp.concatenate([blk, right], axis=1), bottom], axis=0)
+    return s + bpad
 
 
 def _pad_block(db: jnp.ndarray, H: int, L: int, Lp: int) -> jnp.ndarray:
