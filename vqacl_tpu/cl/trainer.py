@@ -75,7 +75,8 @@ class VQACLTrainer:
         self.dtype = dtype or jnp.bfloat16
         from vqacl_tpu.utils.config import resolve_fused_attention
         resolve_fused_attention(cfg.model,
-                                n_devices=self.ctx.mesh.devices.size)
+                                n_devices=self.ctx.mesh.devices.size,
+                                mesh=self.ctx.mesh)
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         params = init_params if init_params is not None else \

@@ -296,7 +296,8 @@ def encoder_block_fused(p: Params, cfg, x: jnp.ndarray,
     rate = 0.0 if deterministic else cfg.dropout_rate
     a = fused_encoder_attention(q, k, v, pos_bias, mask,
                                 interpret=interpret, dropout_rate=rate,
-                                seed=seed)
+                                seed=seed,
+                                mesh=getattr(cfg, "fused_mesh", None))
     a = a @ p["attn"]["wo"].astype(dt)
     x = x + dropout(r[0], a, cfg.dropout_rate, deterministic)
     h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)

@@ -267,10 +267,17 @@ def fused_encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             pos_bias: jnp.ndarray, mask: jnp.ndarray,
                             interpret: bool = False,
                             dropout_rate: float = 0.0,
-                            seed: jnp.ndarray | None = None) -> jnp.ndarray:
+                            seed: jnp.ndarray | None = None,
+                            mesh=None, dp_axis: str = "dp") -> jnp.ndarray:
     """q/k/v [B,S,H,dk] (the projection output — reshaped flat for free,
     never transposed), pos_bias [H,L,L] f32 covering the first L
-    positions (pass [H,S,S] for a full bias), mask [B,S] → [B,S,H*dk]."""
+    positions (pass [H,S,S] for a full bias), mask [B,S] → [B,S,H*dk].
+
+    ``mesh``: a ``pallas_call`` is not GSPMD-partitionable, so on a
+    multi-device mesh the kernel runs under ``shard_map`` — batch dims
+    split over ``dp_axis``, bias/seed replicated (shard_map's transpose
+    psums the per-shard bias cotangents across ``dp``). Single-device
+    callers pass ``mesh=None`` and skip the wrapper entirely."""
     B, S, H, dk = q.shape
     HD = H * dk
     L = pos_bias.shape[-1]
@@ -284,6 +291,26 @@ def fused_encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     mask_p = _pad_to(mask.astype(jnp.float32), Sp, 1)[:, None, :]  # [B,1,S]
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    o = fused_attention(q2, k2, v2, interpret, dropout_rate, H, L,
-                        bias_p, mask_p, seed)
+
+    if mesh is not None and np.prod(
+            [mesh.shape[a] for a in mesh.axis_names if a == dp_axis]) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        def per_shard(q2, k2, v2, mask_p, bias_p, seed):
+            # decorrelate the per-(b,h) dropout streams across shards:
+            # program_id(0) restarts at 0 on every device
+            shift = jax.lax.axis_index(dp_axis).astype(jnp.int32) \
+                * (q2.shape[0] * H)
+            return fused_attention(q2, k2, v2, interpret, dropout_rate,
+                                   H, L, bias_p, mask_p, seed + shift)
+
+        o = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis),
+                      P(), P()),
+            out_specs=P(dp_axis), check_vma=False,
+        )(q2, k2, v2, mask_p, bias_p, seed)
+    else:
+        o = fused_attention(q2, k2, v2, interpret, dropout_rate, H, L,
+                            bias_p, mask_p, seed)
     return o[:, :S, :]

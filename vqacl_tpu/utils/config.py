@@ -205,19 +205,27 @@ def tiny_model_config(**overrides) -> ModelConfig:
 
 
 def resolve_fused_attention(model_cfg: ModelConfig,
-                            n_devices: int = 1) -> None:
+                            n_devices: int = 1, mesh=None) -> None:
     """Resolve ``fused_attention="auto"`` in place.
 
-    True only on a single-device TPU backend: the Pallas kernel's
-    in-kernel dropout needs the TPU PRNG (no CPU interpret lowering),
-    and a ``pallas_call`` cannot be GSPMD-partitioned over a dp mesh, so
-    multi-device layouts keep the XLA einsum attention."""
-    if model_cfg.fused_attention != "auto":
-        return
-    try:
-        import jax
-        backend = jax.default_backend()
-    except Exception:                 # pragma: no cover
-        backend = "cpu"
-    model_cfg.fused_attention = bool(
-        backend in ("tpu", "axon") and n_devices == 1)
+    ``auto`` → True only on a single-device TPU backend: the Pallas
+    kernel's in-kernel dropout needs the TPU PRNG (no CPU interpret
+    lowering), and a ``pallas_call`` cannot be GSPMD-partitioned, so
+    auto keeps the XLA einsum attention on multi-device meshes.
+
+    An EXPLICIT ``fused_attention=True`` (``--fused_attention on``) on a
+    multi-device mesh opts into the shard_map-wrapped kernel: the mesh
+    is recorded on the config (``fused_mesh``, a non-field attribute —
+    invisible to the yaml round-trip) and the kernel runs per-shard with
+    batch dims split over ``dp`` (ops/fused_attention.py)."""
+    if model_cfg.fused_attention == "auto":
+        try:
+            import jax
+            backend = jax.default_backend()
+        except Exception:             # pragma: no cover
+            backend = "cpu"
+        model_cfg.fused_attention = bool(
+            backend in ("tpu", "axon") and n_devices == 1)
+    if model_cfg.fused_attention is True and mesh is not None \
+            and n_devices > 1:
+        model_cfg.fused_mesh = mesh
