@@ -28,7 +28,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Params = Dict[str, Any]
 
