@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import re
+import zlib
 from typing import Dict, Iterable, Tuple
 
 import numpy as np
@@ -36,8 +37,9 @@ def parse_img_id(img_id) -> int:
     m = re.search(r"\d+", tail)
     if m:
         return int(m.group(0))
-    # no digits: stable 31-bit hash so arbitrary ids still round-trip
-    return hash(stem) & 0x7FFFFFFF
+    # no digits: deterministic 31-bit hash (crc32 — Python's hash() is
+    # salted per process, so a writer/reader pair would disagree)
+    return zlib.crc32(stem.encode()) & 0x7FFFFFFF
 
 
 def arrow_schema(n_boxes: int, feat_dim: int = 2048) -> "pa.Schema":

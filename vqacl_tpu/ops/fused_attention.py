@@ -292,8 +292,11 @@ def fused_encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
 
-    if mesh is not None and np.prod(
-            [mesh.shape[a] for a in mesh.axis_names if a == dp_axis]) > 1:
+    # Any multi-device mesh must go through shard_map: a bare pallas_call
+    # inside a multi-device jit is not GSPMD-partitionable. With dp==1
+    # (pure-TP mesh) the P(dp_axis) specs degenerate to replicated and
+    # every device runs the full kernel — correct, if redundant.
+    if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P
 
         def per_shard(q2, k2, v2, mask_p, bias_p, seed):
