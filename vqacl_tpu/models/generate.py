@@ -39,10 +39,16 @@ def _precompute_cross_kv(params: Params, cfg, enc_states: jnp.ndarray
     out = []
     dt = enc_states.dtype
     B, S, _ = enc_states.shape
+    merged = getattr(cfg, "merged_qkv", False) is True
     for i in range(cfg.num_decoder_layers):
         p = params["decoder"][f"block_{i}"]["cross_attn"]
-        k = (enc_states @ p["wk"].astype(dt)).reshape(B, S, cfg.num_heads, cfg.d_kv)
-        v = (enc_states @ p["wv"].astype(dt)).reshape(B, S, cfg.num_heads, cfg.d_kv)
+        if merged:
+            k, v = t5.kv_proj_merged(p, enc_states, cfg.num_heads, cfg.d_kv)
+        else:
+            k = (enc_states @ p["wk"].astype(dt)).reshape(
+                B, S, cfg.num_heads, cfg.d_kv)
+            v = (enc_states @ p["wv"].astype(dt)).reshape(
+                B, S, cfg.num_heads, cfg.d_kv)
         out.append((k, v))
     return out
 
@@ -63,18 +69,26 @@ def _decoder_step(params: Params, cfg, x: jnp.ndarray, t: jnp.ndarray,
     """
     B = x.shape[0]
     dt = x.dtype
+    merged = getattr(cfg, "merged_qkv", False) is True
     new_cache = []
     for i in range(cfg.num_decoder_layers):
         p = params["decoder"][f"block_{i}"]
         h = t5.layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
-        k_new = (h @ p["attn"]["wk"].astype(dt)).reshape(B, 1, cfg.num_heads, cfg.d_kv)
-        v_new = (h @ p["attn"]["wv"].astype(dt)).reshape(B, 1, cfg.num_heads, cfg.d_kv)
+        if merged:
+            q_new, k_new, v_new = t5.qkv_proj_merged(
+                p["attn"], h, cfg.num_heads, cfg.d_kv)
+        else:
+            q_new = None
+            k_new = (h @ p["attn"]["wk"].astype(dt)).reshape(
+                B, 1, cfg.num_heads, cfg.d_kv)
+            v_new = (h @ p["attn"]["wv"].astype(dt)).reshape(
+                B, 1, cfg.num_heads, cfg.d_kv)
         ck = jax.lax.dynamic_update_slice(cache[i][0], k_new, (0, t, 0, 0))
         cv = jax.lax.dynamic_update_slice(cache[i][1], v_new, (0, t, 0, 0))
         new_cache.append((ck, cv))
         a = t5.multihead_attention(p["attn"], h, None, None, self_bias_row,
                                    cfg.num_heads, cfg.d_kv,
-                                   kv_proj=(ck, cv))
+                                   kv_proj=(ck, cv), q_proj=q_new)
         x = x + a
         h = t5.layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
         c = t5.multihead_attention(p["cross_attn"], h, None, None, cross_bias,
@@ -169,14 +183,29 @@ def beam_search(params: Params, cfg, enc_states: jnp.ndarray,
                 max_length: Optional[int] = None,
                 length_penalty: float = 1.0,
                 dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Batched beam search → token ids [B, max_length-1] (best beam).
+    """Batched beam search → token ids [B, max_length-1] (best beam),
+    HF ``generate(num_beams=K, do_sample=False)`` semantics (pinned by
+    tests/test_beam_search.py::test_beam_matches_hf_generate).
 
     Extension beyond the reference eval path: the reference parses
     ``--num_beams`` but never forwards it, so its decoding is greedy
-    (SURVEY §2.5); greedy remains the parity path. Standard seq2seq
-    beam search: K beams per item flattened into the batch, KV cache
-    reordered by parent-beam gather each step, finished beams frozen
-    with score normalized by ``length**length_penalty`` at selection.
+    (SURVEY §2.5); greedy remains the parity path.
+
+    Static-shape reformulation of HF's BeamSearchScorer
+    (early_stopping=False):
+
+    - each step expands 2K candidates per item; candidates that emit EOS
+      enter a K-slot finished-hypothesis pool (scores normalized by
+      ``cur_len**length_penalty`` AT INSERT, like BeamHypotheses.add —
+      but only candidates ranked < K may finish); the top K non-EOS
+      candidates become the next active beams;
+    - the pool insert is "concat K pool slots + K candidates, keep top
+      K" — equivalent to add-then-prune-worst;
+    - an item is DONE when its worst pool score ≥ best active sum-score
+      / cur_len**penalty (HF ``is_done``); done items freeze (their
+      beams keep decoding pad but nothing updates);
+    - at max length, still-open items merge their active beams into the
+      pool normalized by the final length (HF ``finalize``).
     """
     T = (max_length or cfg.gen_max_length) - 1
     B, S, D = enc_states.shape
@@ -201,13 +230,15 @@ def beam_search(params: Params, cfg, enc_states: jnp.ndarray,
          jnp.zeros((B * K, T, cfg.num_heads, cfg.d_kv), dtype))
         for _ in range(cfg.num_decoder_layers))
     tok0 = jnp.full((B * K,), cfg.decoder_start_token_id, jnp.int32)
-    # only beam 0 alive initially (standard trick: others at -inf)
+    # only beam 0 alive initially (HF: beams 1..K-1 start at -1e9)
     scores0 = jnp.tile(jnp.asarray([0.0] + [NEG] * (K - 1)), (B,))  # [B*K]
-    finished0 = jnp.zeros((B * K,), jnp.bool_)
     seqs0 = jnp.zeros((B * K, T), jnp.int32)
+    pool_scores0 = jnp.full((B, K), NEG)          # normalized at insert
+    pool_seqs0 = jnp.zeros((B, K, T), jnp.int32)
+    done0 = jnp.zeros((B,), jnp.bool_)
 
     def step(carry, t):
-        tok, scores, finished, cache, seqs = carry
+        tok, scores, cache, seqs, pool_scores, pool_seqs, done = carry
         x = t5.embed_tokens(params["shared"], tok[:, None], dtype)
         bias_row = jax.lax.dynamic_slice(
             full_bias, (0, 0, t, 0), (1, full_bias.shape[1], 1, T))
@@ -216,35 +247,71 @@ def beam_search(params: Params, cfg, enc_states: jnp.ndarray,
         logits = t5.lm_logits(params["shared"], h, cfg.d_model,
                               cfg.tie_word_embeddings)[:, 0]     # [B*K,V]
         logp = jax.nn.log_softmax(logits, axis=-1)
-        # finished beams: only pad continuation, zero added score
-        pad_only = jnp.full((V,), NEG).at[cfg.pad_token_id].set(0.0)
-        logp = jnp.where(finished[:, None], pad_only[None], logp)
 
-        cand = scores[:, None] + logp                            # [B*K,V]
-        cand = cand.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(cand, K)             # [B,K]
-        parent = top_idx // V                                    # beam idx
+        cand = (scores[:, None] + logp).reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * K)         # [B,2K]
+        parent = top_idx // V
         token = (top_idx % V).astype(jnp.int32)
+        is_eos = token == cfg.eos_token_id
 
-        flat_parent = (parent
-                       + jnp.arange(B)[:, None] * K).reshape(-1)  # [B*K]
-        # reorder everything by parent beam
+        # --- finished pool insert (HF: only candidates ranked < K may
+        # finish; normalization length = cur_len at insert = t+1, the
+        # stored sequence EXCLUDES the EOS token) ---
+        rank_ok = jnp.arange(2 * K)[None, :] < K
+        cur_len = (t + 1).astype(jnp.float32)
+        ins_scores = jnp.where(is_eos & rank_ok & ~done[:, None],
+                               top_scores / cur_len ** length_penalty, NEG)
+        ins_scores = ins_scores[:, :K]                 # ranks ≥ K never EOS-finish
+        ins_seqs = seqs.reshape(B, K, T)[
+            jnp.arange(B)[:, None], parent[:, :K]]     # [B,K,T]
+        # HF's finalize appends EOS to each finished hypothesis
+        ins_seqs = jax.lax.dynamic_update_slice(
+            ins_seqs, jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32),
+            (0, 0, t))
+        all_scores = jnp.concatenate([pool_scores, ins_scores], axis=1)
+        all_seqs = jnp.concatenate([pool_seqs, ins_seqs], axis=1)
+        keep_s, keep_i = jax.lax.top_k(all_scores, K)
+        pool_scores = keep_s
+        pool_seqs = all_seqs[jnp.arange(B)[:, None], keep_i]
+
+        # --- next active beams: top K non-EOS candidates ---
+        active_score = jnp.where(is_eos, NEG, top_scores)        # [B,2K]
+        new_scores, pick = jax.lax.top_k(active_score, K)        # [B,K]
+        new_parent = parent[jnp.arange(B)[:, None], pick]
+        new_token = token[jnp.arange(B)[:, None], pick]
+
+        # done items: freeze beams (decode pad, scores pinned)
+        new_scores = jnp.where(done[:, None], scores.reshape(B, K),
+                               new_scores)
+        new_token = jnp.where(done[:, None], cfg.pad_token_id, new_token)
+        new_parent = jnp.where(done[:, None],
+                               jnp.arange(K)[None, :], new_parent)
+
+        flat_parent = (new_parent + jnp.arange(B)[:, None] * K).reshape(-1)
         seqs = seqs[flat_parent]
         seqs = jax.lax.dynamic_update_slice(
-            seqs, token.reshape(-1, 1), (0, t))
+            seqs, new_token.reshape(-1, 1), (0, t))
         cache = tuple((k[flat_parent], v[flat_parent]) for k, v in cache)
-        new_finished = finished[flat_parent] | \
-            (token.reshape(-1) == cfg.eos_token_id)
-        return (token.reshape(-1), top_scores.reshape(-1),
-                new_finished, cache, seqs), None
 
-    (tok, scores, finished, cache, seqs), _ = jax.lax.scan(
-        step, (tok0, scores0, finished0, cache0, seqs0), jnp.arange(T))
+        # HF is_done (early_stopping=False): worst finished ≥ best
+        # candidate (EOS ones included) / current generated length
+        best_possible = top_scores[:, 0] / cur_len ** length_penalty
+        done = done | ((jnp.min(pool_scores, axis=1) >= best_possible)
+                       & (pool_scores[:, -1] > NEG / 2))
+        return (new_token.reshape(-1), new_scores.reshape(-1), cache,
+                seqs, pool_scores, pool_seqs, done), None
 
-    # select best beam per item by length-normalized score
+    (tok, scores, cache, seqs, pool_scores, pool_seqs, done), _ = \
+        jax.lax.scan(step, (tok0, scores0, cache0, seqs0, pool_scores0,
+                            pool_seqs0, done0), jnp.arange(T))
+
+    # finalize (HF): open items add their active beams, normalized by
+    # the final generated length T (max_length − decoder prompt)
     seqs = seqs.reshape(B, K, T)
-    lengths = jnp.sum((seqs != cfg.pad_token_id).astype(jnp.float32),
-                      axis=-1)                                  # [B,K]
-    norm = scores.reshape(B, K) / jnp.maximum(lengths, 1.0) ** length_penalty
-    best = jnp.argmax(norm, axis=-1)                             # [B]
-    return seqs[jnp.arange(B), best]
+    fin_scores = jnp.where(done[:, None], NEG,
+                           scores.reshape(B, K)
+                           / float(T) ** length_penalty)
+    all_scores = jnp.concatenate([pool_scores, fin_scores], axis=1)
+    all_seqs = jnp.concatenate([pool_seqs, seqs], axis=1)
+    best = jnp.argmax(all_scores, axis=-1)                       # [B]
+    return all_seqs[jnp.arange(B), best]

@@ -174,6 +174,39 @@ def attention_scores_bias(mask: Optional[jnp.ndarray],
     return bias
 
 
+def qkv_proj_merged(p: Params, h: jnp.ndarray, num_heads: int, d_kv: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Self-attention q/k/v as ONE [D, 3·H·dk] GEMM.
+
+    Three separate [M,768]×[768,768] projections run geometry-bound at
+    35-45 % MXU on v5e (BENCH_NOTES); concatenating the weights (an
+    in-program copy XLA CSEs across fwd+bwd) triples N and merges the
+    three dW GEMMs in the backward. Output slices are lane-aligned
+    (H·dk = 768 = 6×128), so the splits are free. Param layout is
+    untouched — checkpoints, hf_import, and sharding rules see the same
+    wq/wk/wv leaves."""
+    B, L, D = h.shape
+    dt = h.dtype
+    inner = num_heads * d_kv
+    w = jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(dt)
+    qkv = h @ w
+    return (qkv[..., :inner].reshape(B, L, num_heads, d_kv),
+            qkv[..., inner:2 * inner].reshape(B, L, num_heads, d_kv),
+            qkv[..., 2 * inner:].reshape(B, L, num_heads, d_kv))
+
+
+def kv_proj_merged(p: Params, x: jnp.ndarray, num_heads: int, d_kv: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention k/v as one [D, 2·H·dk] GEMM (same rationale)."""
+    B, L, D = x.shape
+    dt = x.dtype
+    inner = num_heads * d_kv
+    w = jnp.concatenate([p["wk"], p["wv"]], axis=1).astype(dt)
+    kv = x @ w
+    return (kv[..., :inner].reshape(B, L, num_heads, d_kv),
+            kv[..., inner:].reshape(B, L, num_heads, d_kv))
+
+
 def multihead_attention(p: Params,
                         q_in: jnp.ndarray,
                         k_in: jnp.ndarray,
@@ -186,26 +219,41 @@ def multihead_attention(p: Params,
                         rng=None,
                         kv_proj: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                         mask_add: Optional[jnp.ndarray] = None,
+                        q_proj: Optional[jnp.ndarray] = None,
+                        merged: bool = False,
                         ) -> jnp.ndarray:
     """Unscaled T5 attention. q_in [B,Lq,D]; k_in/v_in [B,Lk,D].
 
     ``kv_proj`` lets the caller pass already-projected K/V (cross-attention
-    cache during generation). ``mask_add`` is an optional second additive
+    cache during generation); ``q_proj`` an already-projected query.
+    ``mask_add`` is an optional second additive
     term (the padding mask, [B,1,1,Lk]) kept SEPARATE from ``bias`` so the
     combined [B,H,Lq,Lk] f32 tensor is never materialized in HBM — both
     broadcasts fuse into the softmax (at bs80/S=58 the combined tensor is
     129 MB read per layer, ~3 GB/step fwd+bwd).
+    ``merged=True`` runs the q/k/v (self) or k/v (cross) projections as
+    one merged GEMM (``qkv_proj_merged``).
     """
     B, Lq, D = q_in.shape
     dt = q_in.dtype
-    q = (q_in @ p["wq"].astype(dt)).reshape(B, Lq, num_heads, d_kv)
-    if kv_proj is None:
-        Lk = k_in.shape[1]
-        k = (k_in @ p["wk"].astype(dt)).reshape(B, Lk, num_heads, d_kv)
-        v = (v_in @ p["wv"].astype(dt)).reshape(B, Lk, num_heads, d_kv)
-    else:
-        k, v = kv_proj
+    if merged and kv_proj is None and q_proj is None and q_in is k_in:
+        q, k, v = qkv_proj_merged(p, q_in, num_heads, d_kv)
         Lk = k.shape[1]
+    else:
+        if q_proj is not None:
+            q = q_proj
+        else:
+            q = (q_in @ p["wq"].astype(dt)).reshape(B, Lq, num_heads, d_kv)
+        if kv_proj is None:
+            Lk = k_in.shape[1]
+            if merged and k_in is v_in:
+                k, v = kv_proj_merged(p, k_in, num_heads, d_kv)
+            else:
+                k = (k_in @ p["wk"].astype(dt)).reshape(B, Lk, num_heads, d_kv)
+                v = (v_in @ p["wv"].astype(dt)).reshape(B, Lk, num_heads, d_kv)
+        else:
+            k, v = kv_proj
+            Lk = k.shape[1]
     # scores in f32 on the MXU
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
@@ -268,7 +316,8 @@ def encoder_block(p: Params, cfg, x: jnp.ndarray, bias: Optional[jnp.ndarray],
     h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
     a = multihead_attention(p["attn"], h, h, h, bias, cfg.num_heads, cfg.d_kv,
                             cfg.dropout_rate, deterministic, r[0],
-                            mask_add=mask_add)
+                            mask_add=mask_add,
+                            merged=getattr(cfg, "merged_qkv", False) is True)
     x = x + dropout(r[1], a, cfg.dropout_rate, deterministic)
     h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
     m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,
@@ -289,9 +338,15 @@ def encoder_block_fused(p: Params, cfg, x: jnp.ndarray,
     h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
     dt = h.dtype
     B, S, D = h.shape
-    q = (h @ p["attn"]["wq"].astype(dt)).reshape(B, S, cfg.num_heads, cfg.d_kv)
-    k = (h @ p["attn"]["wk"].astype(dt)).reshape(B, S, cfg.num_heads, cfg.d_kv)
-    v = (h @ p["attn"]["wv"].astype(dt)).reshape(B, S, cfg.num_heads, cfg.d_kv)
+    if getattr(cfg, "merged_qkv", False) is True:
+        q, k, v = qkv_proj_merged(p["attn"], h, cfg.num_heads, cfg.d_kv)
+    else:
+        q = (h @ p["attn"]["wq"].astype(dt)).reshape(B, S, cfg.num_heads,
+                                                     cfg.d_kv)
+        k = (h @ p["attn"]["wk"].astype(dt)).reshape(B, S, cfg.num_heads,
+                                                     cfg.d_kv)
+        v = (h @ p["attn"]["wv"].astype(dt)).reshape(B, S, cfg.num_heads,
+                                                     cfg.d_kv)
     rate = 0.0 if deterministic else cfg.dropout_rate
     a = fused_encoder_attention(q, k, v, pos_bias, mask,
                                 interpret=interpret, dropout_rate=rate,
@@ -352,17 +407,19 @@ def decoder_block(p: Params, cfg, x: jnp.ndarray,
                   self_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                   cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                   ) -> jnp.ndarray:
+    merged = getattr(cfg, "merged_qkv", False) is True
     r = _split_rngs(rng, 6)
     h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
     a = multihead_attention(p["attn"], h, h, h, self_bias,
                             cfg.num_heads, cfg.d_kv, cfg.dropout_rate,
-                            deterministic, r[0], kv_proj=self_kv)
+                            deterministic, r[0], kv_proj=self_kv,
+                            merged=merged)
     x = x + dropout(r[1], a, cfg.dropout_rate, deterministic)
     h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
     c = multihead_attention(p["cross_attn"], h, enc_states, enc_states,
                             cross_bias, cfg.num_heads, cfg.d_kv,
                             cfg.dropout_rate, deterministic, r[2],
-                            kv_proj=cross_kv)
+                            kv_proj=cross_kv, merged=merged)
     x = x + dropout(r[3], c, cfg.dropout_rate, deterministic)
     h = layer_norm(p["ln3"], x, cfg.layer_norm_epsilon)
     m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,

@@ -262,6 +262,11 @@ def _head_logits(hidden, shared, rescale):
                       preferred_element_type=jnp.float32)
 
 
+def ll_from(logits, safe):
+    """Label-token logit [B,T] from f32 logits and clipped labels."""
+    return jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+
+
 def _fused_head_loss_fwd(hidden, shared, labels, scores, rescale):
     logits = _head_logits(hidden, shared, rescale)
     lse = jax.nn.logsumexp(logits, axis=-1)                     # [B,T]
@@ -289,7 +294,16 @@ def _fused_head_loss_bwd(rescale, res, g):
     dshared = jnp.einsum("btv,btd->vd", dlogits, hidden * rs,
                          preferred_element_type=jnp.float32
                          ).astype(shared.dtype)
-    return dh, dshared, None, jnp.zeros_like(scores)
+    # true scores cotangent: loss = Σ_b score_b · (Σ_t nll·mask)/valid_b / B
+    # → d/d(score_b) = per-sequence mean NLL / B (training only
+    # differentiates params, but anything differentiating the answer-score
+    # weights gets the real gradient, not a silent zero)
+    mask = (labels != -100).astype(jnp.float32)
+    nll = (lse - ll_from(logits, safe)) * mask
+    valid = jnp.clip(mask.sum(axis=1), 1.0, None)
+    dscores = (g * nll.sum(axis=1) / valid / labels.shape[0]
+               ).astype(scores.dtype)
+    return dh, dshared, None, dscores
 
 
 fused_head_loss.defvjp(_fused_head_loss_fwd, _fused_head_loss_bwd)

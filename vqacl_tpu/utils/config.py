@@ -70,6 +70,12 @@ class ModelConfig:
     # a strict True as enabled.
     fused_attention: object = "auto"
     fused_interpret: bool = False    # interpret mode (CPU tests)
+    # merged q/k/v (self) and k/v (cross) projection GEMMs
+    # (t5.qkv_proj_merged). "auto" → True on single-device backends;
+    # multi-device meshes keep separate projections (a weight concat
+    # along the tp-sharded output dim would make GSPMD re-shard every
+    # layer). Pure algebraic regrouping — no param-layout change.
+    merged_qkv: object = "auto"
 
     @property
     def encoder_len(self) -> int:
@@ -90,6 +96,10 @@ class TrainConfig:
     adam_eps: float = 1e-6
     adam_dtype: str = "float32"      # Adam moment storage; "bfloat16" halves
                                      # optimizer HBM state+traffic (optim.py)
+    adam_impl: str = "hf"            # "hf" = reference's transformers AdamW
+                                     # direction (ε inside, correction in
+                                     # step size); "torch" = optax/torch
+                                     # m̂/(√v̂+ε) (optim.py)
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     clip_grad_norm: float = 5.0
@@ -229,3 +239,5 @@ def resolve_fused_attention(model_cfg: ModelConfig,
     if model_cfg.fused_attention is True and mesh is not None \
             and n_devices > 1:
         model_cfg.fused_mesh = mesh
+    if getattr(model_cfg, "merged_qkv", "auto") == "auto":
+        model_cfg.merged_qkv = bool(n_devices == 1)
