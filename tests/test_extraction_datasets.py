@@ -92,6 +92,49 @@ def test_refcocog_refs_and_filename_strip(tmp_path):
     assert path == "/coco/train2014/COCO_train2014_000000419645.jpg"
     np.testing.assert_allclose(boxes, [[10, 10, 15, 15]])
 
+    # proposal mode must refuse (the reference only ships given-box
+    # refcocog drivers) instead of silently running GT extraction
+    with pytest.raises(ValueError):
+        enumerate_dataset("refcocog", root, "val", gt=False,
+                          coco_images_dir="/coco/train2014")
+
+
+def test_refcocog_mattnet_detections(tmp_path):
+    from vqacl_tpu.vision.datasets import iter_refcocog_mattnet
+
+    root = str(tmp_path)
+    ddir = f"{root}/refcocog"
+    os.makedirs(ddir)
+    refs = [
+        {"image_id": 419645, "split": "val",
+         "file_name": "COCO_train2014_000000419645_398406.jpg"},
+        {"image_id": 8, "split": "val",          # image with no detections
+         "file_name": "COCO_train2014_000000000008_12.jpg"},
+    ]
+    with open(f"{ddir}/refs(umd).p", "wb") as f:
+        pickle.dump(refs, f)
+    dets_dir = f"{root}/detections/refcocog_umd"
+    os.makedirs(dets_dir)
+    dets = [   # MAttNet detections: flat list, xywh boxes
+        {"image_id": 419645, "box": [10, 20, 30, 40], "category_name": "dog"},
+        {"image_id": 419645, "box": [0, 0, 5, 5], "category_name": "cat"},
+        {"image_id": 999, "box": [1, 1, 2, 2], "category_name": "car"},
+    ]
+    with open(f"{dets_dir}/res101_coco_minus_refer_notime_dets.json",
+              "w") as f:
+        json.dump(dets, f)
+
+    items = list(iter_refcocog_mattnet(root, "/coco/train2014", "val"))
+    assert len(items) == 1          # image 8 dropped (no detections)
+    img_id, path, boxes = items[0]
+    assert img_id == "419645"
+    assert path == "/coco/train2014/COCO_train2014_000000419645.jpg"
+    np.testing.assert_allclose(boxes, [[10, 20, 40, 60], [0, 0, 5, 5]])
+
+    items2 = list(enumerate_dataset("refcocog_mattnet", root, "val",
+                                    coco_images_dir="/coco/train2014"))
+    assert [i[0] for i in items2] == ["419645"]
+
 
 def test_flickr_and_front_door(tmp_path):
     root = str(tmp_path)

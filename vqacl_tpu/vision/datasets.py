@@ -121,6 +121,44 @@ def iter_refcocog(root: str, coco_images_dir: str, split: str = "val",
                np.asarray(id2dets[img_id], np.float32))
 
 
+def iter_refcocog_mattnet(root: str, coco_images_dir: str,
+                          split: str = "val",
+                          dataset: str = "refcocog",
+                          split_by: str = "umd") -> Iterator[Item]:
+    """refcocog_mattnet.py semantics: same ref/image enumeration as the
+    GT driver, but boxes come from MAttNet's Mask-R-CNN detections file
+    ``<root>/detections/refcocog_umd/res101_coco_minus_refer_notime_dets
+    .json`` — a flat list of ``{image_id, box: [x,y,w,h], ...}`` dicts
+    grouped per image and converted xywh → xyxy
+    (refcocog_mattnet.py:19-29, 85-95)."""
+    ddir = os.path.join(root, dataset)
+    dets_path = os.path.join(
+        root, "detections", f"{dataset}_{split_by}",
+        "res101_coco_minus_refer_notime_dets.json")
+    with open(dets_path) as f:
+        dets = json.load(f)
+    id2boxes: Dict[int, List[List[float]]] = {}
+    for det in dets:
+        x, y, w, h = det["box"][:4]
+        id2boxes.setdefault(int(det["image_id"]), []).append(
+            [x, y, x + w, y + h])
+    with open(os.path.join(ddir, f"refs({split_by}).p"), "rb") as f:
+        refs = pickle.load(f)
+    seen = set()
+    for ref in refs:
+        if ref.get("split") != split:
+            continue
+        img_id = int(ref["image_id"])
+        if img_id in seen or img_id not in id2boxes:
+            continue
+        seen.add(img_id)
+        fn_ann = ref["file_name"]
+        suffix = fn_ann.split(".")[-1]
+        fname = "_".join(fn_ann.split("_")[:-1]) + "." + suffix
+        yield (str(img_id), os.path.join(coco_images_dir, fname),
+               np.asarray(id2boxes[img_id], np.float32))
+
+
 DATASETS = {
     "coco": iter_coco,
     "flickr30k": iter_flickr30k,
@@ -142,5 +180,17 @@ def enumerate_dataset(name: str, root: str, split: str,
         return iter_vcr(root, split or "val", gt=gt)
     if name == "refcocog":
         assert coco_images_dir, "--coco_images required for refcocog"
+        if not gt:
+            # the reference ships only GT-box drivers for refcocog
+            # (refcocog_gt.py / refcocog_mattnet.py — both given-box);
+            # silently running proposal extraction here would be
+            # inconsistent with the other datasets' flag semantics
+            raise ValueError(
+                "refcocog has no proposal-mode driver; pass gt=True "
+                "(GT boxes) or use iter_refcocog_mattnet for MAttNet "
+                "detections")
         return iter_refcocog(root, coco_images_dir, split or "val")
+    if name == "refcocog_mattnet":
+        assert coco_images_dir, "--coco_images required for refcocog_mattnet"
+        return iter_refcocog_mattnet(root, coco_images_dir, split or "val")
     raise ValueError(f"unknown dataset {name!r}")
