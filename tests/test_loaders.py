@@ -70,6 +70,28 @@ def test_prefetch_equals_sync():
                                       bb["tensors"]["input_ids"])
 
 
+def test_prefetch_reraises_producer_exception():
+    """A corrupt/missing feature row must kill the run with the real
+    traceback, not silently truncate the epoch (the producer thread's
+    sentinel-on-any-exception would otherwise swallow it)."""
+    import pytest
+
+    ds, _ = make_dataset(n=30)
+    boom = RuntimeError("corrupt feature row img17")
+    orig_get = ds.features.get
+
+    def failing_get(img_id, *a, **kw):
+        if img_id == "img17":
+            raise boom
+        return orig_get(img_id, *a, **kw)
+
+    ds.features.get = failing_get
+    loader = BatchLoader(ds, np.arange(30), 8, shuffle=False, prefetch=True)
+    with pytest.raises(RuntimeError, match="corrupt feature row img17"):
+        for _ in loader:
+            pass
+
+
 def test_exemplar_quota_over_tasks():
     rng = make_rng(66666)
     buf = ExemplarBuffer(m_size=100)

@@ -194,11 +194,15 @@ class BatchLoader:
             return
         q: queue.Queue = queue.Queue(maxsize=2)
         sentinel = object()
+        failure: list = []
 
         def producer():
             try:
                 for b in self._make_batches():
                     q.put(b)
+            except BaseException as e:  # re-raised in the consumer: a bad
+                # feature row must kill the run, not silently end the epoch
+                failure.append(e)
             finally:
                 q.put(sentinel)
 
@@ -207,6 +211,8 @@ class BatchLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if failure:
+                    raise failure[0]
                 break
             yield item
 
