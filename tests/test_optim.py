@@ -12,17 +12,24 @@ from vqacl_tpu.utils.config import TrainConfig, tiny_model_config
 
 
 def test_constant_warmup_schedule():
+    """HF get_constant_schedule_with_warmup semantics: k-th completed
+    step uses factor k/warmup — first step is a ZERO update."""
     s = make_schedule(1e-3, t_total=100, warmup_ratio=0.1)
-    assert abs(float(s(0)) - 1e-4) < 1e-9     # (0+1)/10 of lr
-    assert abs(float(s(9)) - 1e-3) < 1e-9
+    assert abs(float(s(0))) < 1e-12           # HF warmup: lr_lambda(0)=0
+    assert abs(float(s(5)) - 5e-4) < 1e-9
+    assert abs(float(s(10)) - 1e-3) < 1e-9
     assert abs(float(s(99)) - 1e-3) < 1e-9    # constant after warmup
+    # warmup 0 (tiny t_total) → full lr from the start, like HF
+    s0 = make_schedule(1e-3, t_total=5, warmup_ratio=0.1)
+    assert abs(float(s0(0)) - 1e-3) < 1e-9
 
 
 def test_linear_warmup_schedule():
     s = make_schedule(1e-3, t_total=100, warmup_ratio=0.1,
                       kind="linear_warmup")
-    assert abs(float(s(99))) < 2e-5           # decays to ~0
-    assert float(s(9)) > float(s(50)) > float(s(99))
+    assert abs(float(s(0))) < 1e-12
+    assert abs(float(s(99)) - 1e-3 / 90) < 1e-9   # (100-99)/(100-10)
+    assert float(s(10)) > float(s(50)) > float(s(99))
 
 
 def test_dynamic_lr_matches_static():
@@ -39,15 +46,19 @@ def test_dynamic_lr_matches_static():
                    - float(static_l(step))) < 1e-8
 
 
-def test_decay_mask_excludes_norms_and_biases():
+def test_decay_mask_matches_reference_groups():
+    """The reference's no_decay substring test ('bias'/'LayerNorm.weight',
+    trainer_base.py:148) misses T5's lowercase ``layer_norm.weight``
+    naming, so layer norms ARE decayed there; only ``*.bias`` params and
+    ``relative_attention_bias.weight`` are exempt."""
     cfg = tiny_model_config()
     params = init_vlt5_params(jax.random.PRNGKey(0), cfg)
     mask = decay_mask(params)
     assert mask["encoder"]["block_0"]["attn"]["wq"] is True
-    assert mask["encoder"]["block_0"]["ln1"] is False
-    assert mask["encoder"]["final_ln"] is False
-    assert mask["encoder"]["rel_bias"] is False
-    assert mask["visual_embedding"]["feat_b"] is False
+    assert mask["encoder"]["block_0"]["ln1"] is True      # decayed (quirk)
+    assert mask["encoder"]["final_ln"] is True            # decayed (quirk)
+    assert mask["encoder"]["rel_bias"] is False           # contains 'bias'
+    assert mask["visual_embedding"]["feat_b"] is False    # Linear bias
     assert mask["visual_embedding"]["feat_w"] is True
 
 

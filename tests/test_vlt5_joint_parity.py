@@ -211,6 +211,213 @@ def test_joint_forward_matches_torch(setup):
     assert abs(float(j_loss) - float(t_loss)) < 2e-4
 
 
+def test_joint_backward_matches_torch(setup):
+    """Gradient parity of the FULL joint path through the production
+    ``fused_head_loss`` custom VJP: visual-embedding Linears + LNs,
+    encoder/decoder rel-bias tables, attention projections, and the tied
+    shared embedding (embed + obj-order + LM-head uses all accumulate)
+    against torch autograd on the transcribed model."""
+    import jax
+
+    cfg, hf, vis_mod, params, d = setup
+    hf.zero_grad(set_to_none=False)
+    vis_mod.zero_grad(set_to_none=False)
+    _, _, t_loss = torch_full_forward(cfg, hf, vis_mod, d)
+    t_loss.backward()
+
+    labels = jnp.asarray(d["labels"])
+    scores = jnp.asarray(d["scores"])
+    proto = ProtoState.create(cfg.n_ques_types, cfg.n_categories,
+                              cfg.d_model)._replace(
+        q_proto=jnp.asarray(d["q_bank"]), v_proto=jnp.asarray(d["v_bank"]))
+
+    def loss_fn(p):
+        hidden, enc_mask = vlt5.encode(p, cfg, jnp.asarray(d["input_ids"]),
+                                       jnp.asarray(d["feats"]),
+                                       jnp.asarray(d["boxes"]),
+                                       dtype=jnp.float32)
+        hidden_aug, mask_aug, _, _ = vlt5.augment(
+            p, cfg, hidden, enc_mask, proto, proto_update_flag=False)
+        seq = vlt5.decode_hidden(p, cfg, hidden_aug, mask_aug, labels,
+                                 dtype=jnp.float32)
+        return vlt5.fused_head_loss(seq, p["shared"], labels, scores,
+                                    cfg.d_model ** -0.5)
+
+    g = jax.grad(loss_fn)(params)
+
+    def t_grad(mod_param):
+        return mod_param.grad.detach().numpy()
+
+    pairs = [
+        (g["shared"], t_grad(hf.shared.weight), "shared"),
+        (g["visual_embedding"]["feat_w"],
+         t_grad(vis_mod.feat_embedding[0].weight).T, "feat_w"),
+        (g["visual_embedding"]["feat_b"],
+         t_grad(vis_mod.feat_embedding[0].bias), "feat_b"),
+        (g["visual_embedding"]["feat_ln"],
+         t_grad(vis_mod.feat_embedding[1].weight), "feat_ln"),
+        (g["visual_embedding"]["pos_w"],
+         t_grad(vis_mod.absolute_vis_pos_embedding[0].weight).T, "pos_w"),
+        (g["encoder"]["rel_bias"],
+         t_grad(hf.encoder.block[0].layer[0]
+                .SelfAttention.relative_attention_bias.weight), "enc_bias"),
+        (g["decoder"]["rel_bias"],
+         t_grad(hf.decoder.block[0].layer[0]
+                .SelfAttention.relative_attention_bias.weight), "dec_bias"),
+        (g["encoder"]["block_0"]["attn"]["wq"],
+         t_grad(hf.encoder.block[0].layer[0].SelfAttention.q.weight).T,
+         "enc0_wq"),
+        (g["encoder"]["block_1"]["mlp"]["wi"],
+         t_grad(hf.encoder.block[1].layer[1].DenseReluDense.wi.weight).T,
+         "enc1_wi"),
+        (g["decoder"]["block_1"]["cross_attn"]["wv"],
+         t_grad(hf.decoder.block[1].layer[1].EncDecAttention.v.weight).T,
+         "dec1_cross_wv"),
+        (g["decoder"]["block_0"]["ln1"],
+         t_grad(hf.decoder.block[0].layer[0].layer_norm.weight), "dec0_ln1"),
+    ]
+    for ours, ref, name in pairs:
+        scale = max(np.abs(ref).max(), 1e-8)
+        np.testing.assert_allclose(np.asarray(ours) / scale, ref / scale,
+                                   rtol=2e-3, atol=2e-5, err_msg=name)
+
+
+def _torch_forward_noproto(cfg, hf, vis_mod, input_ids, feats, boxes,
+                           labels, scores):
+    """Joint forward without prototype concat (trajectory harness: the
+    prototype EMA algebra is pinned separately in test_prototype.py)."""
+    h, mask = torch_joint_encode(cfg, hf, vis_mod, input_ids, feats, boxes)
+    out = hf(encoder_outputs=(h,), attention_mask=mask, labels=labels)
+    B = h.shape[0]
+    ce = torch.nn.CrossEntropyLoss(ignore_index=-100, reduction="none")
+    nll = ce(out.logits.view(-1, out.logits.size(-1)),
+             labels.view(-1)).view(B, -1)
+    lm_mask = (labels != -100).float()
+    per_seq = (nll * lm_mask).sum(dim=1) / lm_mask.sum(dim=1).clamp(min=1)
+    return (per_seq * scores).mean()
+
+
+def _hf_adamw_references_step(named_params, opt_state, lr, wd_default,
+                              b1=0.9, b2=0.999, eps=1e-6, clip=5.0):
+    """One reference optimizer step: clip-5 global norm (vqacl.py:475)
+    then HF-4.2.1 AdamW (trainer_base.py:137,188): m/v EMA, bias
+    correction folded into step size (ε added to the *uncorrected* √v),
+    decoupled weight decay applied to the post-Adam params, no_decay =
+    names containing 'bias' (the 'LayerNorm.weight' entry never matches
+    T5's lowercase naming)."""
+    import math as _math
+
+    torch.nn.utils.clip_grad_norm_([p for _, p in named_params], clip)
+    with torch.no_grad():
+        for name, p in named_params:
+            if p.grad is None:
+                continue
+            st = opt_state.setdefault(name, {
+                "t": 0, "m": torch.zeros_like(p), "v": torch.zeros_like(p)})
+            st["t"] += 1
+            g = p.grad
+            st["m"].mul_(b1).add_(g, alpha=1 - b1)
+            st["v"].mul_(b2).addcmul_(g, g, value=1 - b2)
+            denom = st["v"].sqrt().add_(eps)
+            step_size = lr * _math.sqrt(1 - b2 ** st["t"]) / (1 - b1 ** st["t"])
+            p.addcdiv_(st["m"], denom, value=-step_size)
+            wd = 0.0 if "bias" in name else wd_default
+            if wd > 0:
+                p.add_(p, alpha=-lr * wd)
+
+
+def test_train_trajectory_matches_torch(setup):
+    """3-5 optimizer steps of the FULL train recipe — clip 5, HF AdamW
+    groups (eps 1e-6), constant-with-warmup schedule incl. the zero
+    first step — on identical data: the loss trajectory and final params
+    must match torch within f32 noise. This is the strongest Table-1
+    surrogate available without the real Partition_Q artifacts."""
+    import copy
+
+    import jax
+
+    from vqacl_tpu.models.prototype import ProtoState as PS
+    from vqacl_tpu.train.optim import make_transform
+    from vqacl_tpu.train.state import TrainState
+    from vqacl_tpu.train.step import make_train_step
+    from vqacl_tpu.utils.config import Config, TrainConfig
+
+    cfg, hf0, vis0, params, d = setup
+    hf = copy.deepcopy(hf0).train()
+    vis_mod = copy.deepcopy(vis0).train()
+    for p in list(hf.parameters()) + list(vis_mod.parameters()):
+        p.requires_grad_(True)
+
+    LR, WD, WARMUP, T_TOTAL, STEPS = 1e-3, 0.01, 2.0, 20.0, 5
+
+    # --- torch side ---
+    named = ([(f"__vis__.{n}", p) for n, p in vis_mod.named_parameters()]
+             + [(n, p) for n, p in hf.named_parameters()
+                if n != "lm_head.weight"])        # tied to shared.weight
+    opt_state: dict = {}
+    t_losses = []
+    input_ids = torch.tensor(d["input_ids"])
+    feats = torch.tensor(d["feats"])
+    boxes = torch.tensor(d["boxes"])
+    labels_t = torch.tensor(d["labels"])
+    scores_t = torch.tensor(d["scores"])
+    for k in range(STEPS):
+        for _, p in named:
+            p.grad = None
+        loss = _torch_forward_noproto(cfg, hf, vis_mod, input_ids, feats,
+                                      boxes, labels_t, scores_t)
+        loss.backward()
+        factor = k / WARMUP if k < WARMUP else 1.0   # HF lr_lambda
+        _hf_adamw_references_step(named, opt_state, LR * factor, WD)
+        t_losses.append(float(loss.detach()))
+
+    # --- jax side: the production compiled train step ---
+    full = Config()
+    full.model = copy.deepcopy(cfg)
+    full.model.dropout_rate = 0.0
+    full.train = TrainConfig(lr=LR, weight_decay=WD, clip_grad_norm=5.0,
+                             adam_eps=1e-6, seed=1)
+    tx = make_transform(full.train)
+    proto = PS.create(cfg.n_ques_types, cfg.n_categories, cfg.d_model)
+    state = TrainState.create(
+        jax.tree.map(jnp.asarray, params), tx, proto,
+        jax.random.PRNGKey(0), warmup_iters=WARMUP, t_total=T_TOTAL)
+    step = make_train_step(full, tx, dtype=jnp.float32,
+                           use_prototype=False, donate=False)
+    batch = {
+        "input_ids": jnp.asarray(d["input_ids"]),
+        "vis_feats": jnp.asarray(d["feats"]),
+        "boxes": jnp.asarray(d["boxes"]),
+        "target_ids": jnp.asarray(d["labels"]),
+        "scores": jnp.asarray(d["scores"]),
+        "ques_labels": jnp.zeros((4, cfg.n_ques_types), jnp.float32),
+        "cate_labels": jnp.zeros((4, cfg.n_categories), jnp.float32),
+    }
+    j_losses = []
+    for k in range(STEPS):
+        state, metrics = step(state, batch)
+        j_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4, atol=3e-5)
+    # final params too — catches compensating errors the loss can hide
+    final_pairs = [
+        (state.params["shared"], hf.shared.weight, "shared"),
+        (state.params["encoder"]["block_0"]["attn"]["wq"],
+         hf.encoder.block[0].layer[0].SelfAttention.q.weight.T, "wq"),
+        (state.params["encoder"]["block_0"]["ln1"],
+         hf.encoder.block[0].layer[0].layer_norm.weight, "ln1"),
+        (state.params["visual_embedding"]["feat_w"],
+         vis_mod.feat_embedding[0].weight.T, "feat_w"),
+        (state.params["decoder"]["rel_bias"],
+         hf.decoder.block[0].layer[0]
+         .SelfAttention.relative_attention_bias.weight, "dec_rel_bias"),
+    ]
+    for ours, ref, name in final_pairs:
+        np.testing.assert_allclose(np.asarray(ours),
+                                   ref.detach().numpy(),
+                                   rtol=5e-4, atol=5e-6, err_msg=name)
+
+
 def test_visual_embedding_matches_torch(setup):
     cfg, hf, vis_mod, params, d = setup
     from vqacl_tpu.models.visual_embedding import apply_visual_embedding

@@ -27,12 +27,16 @@ import optax
 
 
 def _is_no_decay(path: tuple) -> bool:
-    """biases + layer norms + rel-pos tables follow the reference's
-    no_decay group ('bias', 'LayerNorm.weight')."""
+    """The reference's no_decay group, by its ACTUAL effect: the list is
+    ``['bias', 'LayerNorm.weight']`` (trainer_base.py:148) applied as a
+    substring test — but HF T5 names its norms ``layer_norm.weight``
+    (lowercase), so the second entry never matches and **layer norms are
+    weight-decayed** in the reference. The only exempt params are those
+    whose torch name contains 'bias': every ``*.bias`` (visual-embedding
+    Linears; T5 has none) and ``relative_attention_bias.weight``.
+    Verified by the torch trajectory-parity test."""
     name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-    return (name.startswith("ln") or name == "final_ln"
-            or name.endswith("_b") or name.endswith("_ln")
-            or name == "rel_bias")
+    return name.endswith("_b") or name == "rel_bias"
 
 
 def decay_mask(params: Any) -> Any:
@@ -51,17 +55,16 @@ def freeze_mask(params: Any) -> Any:
 
 def make_schedule(lr: float, t_total: int, warmup_ratio: float,
                   kind: str = "constant_warmup") -> Callable:
-    warmup = max(int(warmup_ratio * t_total), 1)
-    if kind == "constant_warmup":
-        return lambda step: lr * jnp.minimum(1.0, (step + 1) / warmup)
-    if kind == "linear_warmup":  # nextqa/trainer_base.py:207
-        def sched(step):
-            wu = jnp.minimum(1.0, (step + 1) / warmup)
-            decay = jnp.maximum(
-                0.0, (t_total - step) / jnp.maximum(1.0, t_total - warmup))
-            return lr * jnp.where(step < warmup, wu, decay)
-        return sched
-    raise ValueError(kind)
+    """HF scheduler semantics exactly (the reference's
+    ``get_constant_schedule_with_warmup`` / nextqa's linear variant):
+    the k-th optimizer step (0-based count of completed steps) uses
+    factor ``k/warmup`` while ``k < warmup`` — the FIRST step is a zero
+    update, the standard HF warmup quirk — and 1.0 (constant) or the
+    linear decay afterwards. ``warmup == 0`` → factor 1 from the start."""
+    warmup = int(warmup_ratio * t_total)      # trainer_base.py:141
+    return lambda step: dynamic_lr(jnp.asarray(float(step)),
+                                   jnp.asarray([float(warmup),
+                                                float(t_total)]), lr, kind)
 
 
 def dynamic_lr(step: jnp.ndarray, sched: jnp.ndarray, lr: float,
@@ -74,11 +77,12 @@ def dynamic_lr(step: jnp.ndarray, sched: jnp.ndarray, lr: float,
     the train state keeps ONE compiled train step for the whole
     benchmark.
     """
-    warmup = jnp.maximum(sched[0], 1.0)
+    warmup = sched[0]
     t_total = jnp.maximum(sched[1], 1.0)
-    wu = jnp.minimum(1.0, (step + 1.0) / warmup)
+    # HF lr_lambda: step < warmup → step/max(1,warmup), else constant/decay
+    wu = step / jnp.maximum(warmup, 1.0)
     if kind == "constant_warmup":
-        return lr * wu
+        return lr * jnp.where(step < warmup, wu, 1.0)
     if kind == "linear_warmup":
         decay = jnp.clip((t_total - step) / jnp.maximum(1.0, t_total - warmup),
                          0.0, 1.0)
@@ -131,17 +135,74 @@ def scale_by_adam_lowmem(b1: float, b2: float, eps: float,
     return optax.GradientTransformation(init, update)
 
 
+def scale_by_hf_adamw(b1: float, b2: float, eps: float,
+                      moment_dtype=jnp.float32
+                      ) -> optax.GradientTransformation:
+    """The reference's exact Adam direction: HF 4.2.1
+    ``transformers.optimization.AdamW`` (imported at trainer_base.py:137)
+    computes  √(1−β₂ᵗ)/(1−β₁ᵗ) · m/(√v+ε)  — the bias correction is
+    folded into the step size, so ε is added to the UNCORRECTED √v.
+    torch.optim.AdamW / optax ``scale_by_adam`` instead use m̂/(√v̂+ε);
+    the two differ early in training (effective ε′ = ε/√(1−β₂ᵗ) is ~30×
+    larger at t=1), visibly so under a trajectory-equivalence test.
+    ``moment_dtype`` narrows HBM-resident moment storage (arithmetic
+    stays f32), as in ``scale_by_adam_lowmem``."""
+    def init(params):
+        z = lambda p: jnp.zeros(p.shape, moment_dtype)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=jax.tree.map(z, params),
+                                      nu=jax.tree.map(z, params))
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        c = count.astype(jnp.float32)
+        corr = jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
+
+        def one(g, m, v):
+            gf = g.astype(jnp.float32)
+            m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+            v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
+            out = corr * m2 / (jnp.sqrt(v2) + eps)
+            return out, m2.astype(moment_dtype), v2.astype(moment_dtype)
+
+        flat_u, treedef = jax.tree.flatten(updates)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        outs = [one(g, m, v) for g, m, v in zip(flat_u, flat_m, flat_v)]
+        return (treedef.unflatten([o[0] for o in outs]),
+                optax.ScaleByAdamState(
+                    count=count,
+                    mu=treedef.unflatten([o[1] for o in outs]),
+                    nu=treedef.unflatten([o[2] for o in outs])))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_transform(cfg_train, with_clip: bool = True
                    ) -> optax.GradientTransformation:
-    """LR-less AdamW direction: clip → Adam moments (bias-corrected) →
-    decoupled weight decay (masked) [→ freeze mask]. The train step
-    multiplies by ``dynamic_lr`` and subtracts, which is exactly torch
-    AdamW's  p ← p - lr·(m̂/(√v̂+ε) + wd·p)."""
+    """LR-less AdamW direction: clip → Adam moments → decoupled weight
+    decay (masked) [→ freeze mask]. The train step multiplies by
+    ``dynamic_lr`` and subtracts:  p ← p − lr·(adam_dir + wd·p).
+
+    ``adam_impl="hf"`` (default) reproduces the reference's HF AdamW
+    direction exactly (``scale_by_hf_adamw``); ``"torch"`` selects
+    optax/torch.optim.AdamW semantics (m̂/(√v̂+ε)). The one residual
+    delta vs HF AdamW is second-order: HF decays the post-Adam-step
+    params (−lr·wd·(p−lr·Δ)), we decay pre-step p — difference
+    lr²·wd·Δ ≈ 1e-10 relative, below f32 resolution."""
     parts = []
     if with_clip:
         parts.append(optax.clip_by_global_norm(cfg_train.clip_grad_norm))
     adam_dtype = getattr(cfg_train, "adam_dtype", "float32")
-    if adam_dtype in ("bfloat16", "bf16"):
+    moment_dtype = (jnp.bfloat16 if adam_dtype in ("bfloat16", "bf16")
+                    else jnp.float32)
+    impl = getattr(cfg_train, "adam_impl", "hf")
+    if impl == "hf":
+        parts.append(scale_by_hf_adamw(
+            b1=cfg_train.adam_beta1, b2=cfg_train.adam_beta2,
+            eps=cfg_train.adam_eps, moment_dtype=moment_dtype))
+    elif moment_dtype is jnp.bfloat16:
         parts.append(scale_by_adam_lowmem(
             b1=cfg_train.adam_beta1, b2=cfg_train.adam_beta2,
             eps=cfg_train.adam_eps, moment_dtype=jnp.bfloat16))
