@@ -134,3 +134,27 @@ def test_evaluator_surfaces_backend():
     out = ev.evaluate_raw({"q0": "cat"})
     assert out["wups_backend"] == "vendored-taxonomy"
     assert out["overall"] == pytest.approx(100 * 24 / 28)
+    assert out["wups_vocab_coverage"] == 1.0   # cat/dog both in vocab
+
+
+def test_evaluator_reports_vocab_coverage():
+    """OOV word pairs degrade to exact match — the evaluator must report
+    what fraction of scored pairs actually resolved (VERDICT r2 #5)."""
+    from vqacl_tpu.nextqa.data import NextQAEvaluator
+    ev = NextQAEvaluator({
+        "q0": {"gt_answer": "dog", "type": "CW", "qid": "q0", "video": "v"},
+        "q1": {"gt_answer": "zyzzyva", "type": "CW", "qid": "q1",
+               "video": "v"},                    # OOV ground truth
+        "q2": {"gt_answer": "frisbee", "type": "CC", "qid": "q2",
+               "video": "v"},                    # CC = exact path, no WUPS
+    })
+    out = ev.evaluate_raw({"q0": "cat", "q1": "insect", "q2": "frisbee"})
+    # 2 WUPS-scored pairs: (cat,dog) covered, (insect,zyzzyva) not
+    assert out["wups_vocab_coverage"] == pytest.approx(0.5)
+
+    # widened vocabulary resolves typical NExT-QA answers to real WUPS
+    from vqacl_tpu.evaluation import wups
+    assert wups.word_similarity("river", "lake") == pytest.approx(0.8)
+    assert wups.word_similarity("eating", "drinking") > 0.8
+    assert wups.word_in_vocab("skateboard")
+    assert not wups.word_in_vocab("zyzzyva")

@@ -194,6 +194,73 @@ _CHAINS: List[List[str]] = [
     ["attribute.n.02", "property.n.02", "visual_property.n.01",
      "color.n.01"],
     ["motion.n.06", "gesture.n.02"],
+    # -- round-3 widening: frequent NExT-QA answer vocabulary ---------------
+    ["act.n.02", "consumption.n.01", "eating.n.01"],       # simplified place
+    ["consumption.n.01", "drinking.n.01"],
+    ["activity.n.01", "sitting.n.01"],                     # simplified
+    ["activity.n.01", "standing.n.03"],                    # simplified
+    ["act.n.02", "expression.n.03", "crying.n.02"],        # simplified
+    ["expression.n.03", "laughter.n.01"],
+    ["expression.n.03", "smile.n.01"],                     # simplified
+    ["speech_act.n.01", "conversation.n.01"],
+    ["sport.n.01", "contact_sport.n.01", "football.n.01"],
+    ["football.n.01", "soccer.n.01"],
+    ["sport.n.01", "court_game.n.01", "basketball.n.01"],
+    ["court_game.n.01", "tennis.n.01"],
+    ["diversion.n.01", "riding.n.01"],
+    ["abstraction.n.06", "communication.n.02",
+     "auditory_communication.n.01", "music.n.01", "vocal_music.n.01",
+     "singing.n.01"],
+    ["covering.n.02", "protective_covering.n.01", "shelter.n.02",
+     "canopy.n.03", "umbrella.n.01"],
+    ["protective_covering.n.01", "helmet.n.02"],
+    ["plaything.n.01", "balloon.n.02"],
+    ["plaything.n.01", "kite.n.03"],
+    ["wheeled_vehicle.n.01", "skateboard.n.01"],
+    ["wheeled_vehicle.n.01", "scooter.n.02"],
+    ["wheeled_vehicle.n.01", "baby_buggy.n.01"],
+    ["artifact.n.01", "obstruction.n.01", "barrier.n.01",
+     "movable_barrier.n.01", "door.n.01"],
+    ["barrier.n.01", "fence.n.01"],
+    ["structure.n.01", "partition.n.01", "wall.n.01"],
+    ["structure.n.01", "supporting_structure.n.01", "framework.n.03",
+     "window.n.01"],
+    ["way.n.06", "stairway.n.01"],
+    ["device.n.01", "reflector.n.01", "mirror.n.01"],
+    ["device.n.01", "source_of_illumination.n.01", "lamp.n.01"],
+    ["device.n.01", "machine.n.01", "computer.n.01"],
+    ["computer.n.01", "portable_computer.n.01", "laptop.n.01"],  # simplified
+    ["device.n.01", "microphone.n.01"],                    # simplified
+    ["device.n.01", "home_appliance.n.01", "refrigerator.n.01"],  # simplif.
+    ["home_appliance.n.01", "microwave.n.02"],
+    ["instrumentality.n.03", "furnishing.n.02", "curtain.n.01"],
+    ["covering.n.02", "cloth_covering.n.01", "blanket.n.01"],
+    ["artifact.n.01", "padding.n.01", "cushion.n.03", "pillow.n.01"],
+    ["vessel.n.03", "glass.n.02"],
+    ["artifact.n.01", "article.n.02", "tableware.n.01", "flatware.n.01",
+     "plate.n.04"],
+    ["implement.n.01", "edge_tool.n.01", "knife.n.01"],
+    ["artifact.n.01", "ladder.n.01"],                      # simplified
+    ["structure.n.01", "shelter.n.01", "tent.n.01"],
+    ["instrument.n.01", "optical_instrument.n.01", "spectacles.n.01"],
+    ["artifact.n.01", "fabric.n.01", "piece_of_cloth.n.01", "towel.n.01"],
+    ["garment.n.01", "dress.n.01"],
+    ["garment.n.01", "jacket.n.01"],
+    ["garment.n.01", "coat.n.01"],
+    ["garment.n.01", "trouser.n.01"],
+    ["object.n.01", "natural_object.n.01", "rock.n.02"],
+    ["natural_object.n.01", "celestial_body.n.01", "sun.n.01"],
+    ["celestial_body.n.01", "moon.n.01"],
+    ["object.n.01", "sky.n.01"],                           # simplified
+    ["geological_formation.n.01", "natural_elevation.n.01",
+     "mountain.n.01"],
+    ["geological_formation.n.01", "natural_depression.n.01", "valley.n.01"],
+    ["thing.n.12", "body_of_water.n.01", "river.n.01"],
+    ["body_of_water.n.01", "lake.n.01"],
+    ["body_of_water.n.01", "sea.n.01"],
+    ["body_of_water.n.01", "ocean.n.01"],
+    ["substance.n.07", "earth.n.02", "sand.n.01"],         # simplified
+    ["substance.n.07", "snow.n.01"],                       # simplified
 ]
 
 # Diamond links (WordNet multiple inheritance) — child → extra parent.
@@ -277,6 +344,51 @@ LEMMAS: Dict[str, Tuple[str, ...]] = {
     "jump": ("jump.n.06",), "jumping": ("jump.n.06",),
     "color": ("color.n.01",), "colour": ("color.n.01",),
     "gesture": ("gesture.n.02",),
+    # round-3 widening
+    "eat": ("eating.n.01",), "eating": ("eating.n.01",),
+    "drink": ("drinking.n.01",), "drinking": ("drinking.n.01",),
+    "sit": ("sitting.n.01",), "sitting": ("sitting.n.01",),
+    "stand": ("standing.n.03",), "standing": ("standing.n.03",),
+    "cry": ("crying.n.02",), "crying": ("crying.n.02",),
+    "laugh": ("laughter.n.01",), "laughing": ("laughter.n.01",),
+    "laughter": ("laughter.n.01",),
+    "smile": ("smile.n.01",), "smiling": ("smile.n.01",),
+    "talk": ("conversation.n.01",), "talking": ("conversation.n.01",),
+    "conversation": ("conversation.n.01",),
+    "sing": ("singing.n.01",), "singing": ("singing.n.01",),
+    "music": ("music.n.01",),
+    "football": ("football.n.01",), "soccer": ("soccer.n.01",),
+    "basketball": ("basketball.n.01",), "tennis": ("tennis.n.01",),
+    "sport": ("sport.n.01",), "riding": ("riding.n.01",),
+    "ride": ("riding.n.01",),
+    "umbrella": ("umbrella.n.01",), "helmet": ("helmet.n.02",),
+    "balloon": ("balloon.n.02",), "kite": ("kite.n.03",),
+    "skateboard": ("skateboard.n.01",), "scooter": ("scooter.n.02",),
+    "stroller": ("baby_buggy.n.01",), "pram": ("baby_buggy.n.01",),
+    "door": ("door.n.01",), "fence": ("fence.n.01",),
+    "wall": ("wall.n.01",), "window": ("window.n.01",),
+    "stairs": ("stairway.n.01",), "staircase": ("stairway.n.01",),
+    "mirror": ("mirror.n.01",), "lamp": ("lamp.n.01",),
+    "light": ("lamp.n.01",),
+    "computer": ("computer.n.01",), "laptop": ("laptop.n.01",),
+    "microphone": ("microphone.n.01",), "mic": ("microphone.n.01",),
+    "refrigerator": ("refrigerator.n.01",),
+    "fridge": ("refrigerator.n.01",), "microwave": ("microwave.n.02",),
+    "curtain": ("curtain.n.01",), "blanket": ("blanket.n.01",),
+    "pillow": ("pillow.n.01",), "glass": ("glass.n.02",),
+    "plate": ("plate.n.04",), "knife": ("knife.n.01",),
+    "ladder": ("ladder.n.01",), "tent": ("tent.n.01",),
+    "glasses": ("spectacles.n.01",), "spectacles": ("spectacles.n.01",),
+    "towel": ("towel.n.01",),
+    "dress": ("dress.n.01",), "jacket": ("jacket.n.01",),
+    "coat": ("coat.n.01",), "pants": ("trouser.n.01",),
+    "trousers": ("trouser.n.01",),
+    "rock": ("rock.n.02",), "stone": ("rock.n.02",),
+    "sun": ("sun.n.01",), "moon": ("moon.n.01",), "sky": ("sky.n.01",),
+    "mountain": ("mountain.n.01",), "valley": ("valley.n.01",),
+    "river": ("river.n.01",), "lake": ("lake.n.01",),
+    "sea": ("sea.n.01",), "ocean": ("ocean.n.01",),
+    "sand": ("sand.n.01",), "snow": ("snow.n.01",),
 }
 
 

@@ -25,7 +25,7 @@ evaluator's returned dict.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional, Sequence
 
 from vqacl_tpu.evaluation import taxonomy
 
@@ -49,6 +49,17 @@ def wordnet_available() -> bool:
 def wups_backend() -> str:
     """Which word-similarity source WUPS is running on."""
     return "nltk-wordnet" if wordnet_available() else "vendored-taxonomy"
+
+
+@functools.lru_cache(maxsize=131072)
+def word_in_vocab(w: str) -> bool:
+    """Does the active similarity backend know this word? Pairs where
+    either side is out-of-vocabulary degrade to exact-token match inside
+    an otherwise-real WUPS run — the evaluator reports the fraction
+    (``wups_vocab_coverage``) so a degraded eval is visibly degraded."""
+    if wordnet_available():
+        return bool(_WN.synsets(w))
+    return bool(taxonomy.synsets(w))
 
 
 @functools.lru_cache(maxsize=65536)
@@ -83,13 +94,25 @@ def _one_side(tokens_a: Sequence[str], tokens_b: Sequence[str],
     return prod
 
 
-def get_wups(pred: str, truth: str, thresh: float = 0.0) -> float:
+def get_wups(pred: str, truth: str, thresh: float = 0.0,
+             coverage: Optional[list] = None) -> float:
     """WUPS between two answer strings (already stopword-stripped by the
-    caller, matching nextqa_data.py:986-989)."""
+    caller, matching nextqa_data.py:986-989).
+
+    ``coverage``, if given, is a mutable ``[covered, total]`` pair
+    accumulated over the A×T word pairs this call scores: a pair counts
+    covered when it is an exact match or both words are known to the
+    similarity backend."""
     a = pred.split()
     t = truth.split()
     if not a or not t:
         return float(pred.strip() == truth.strip())
+    if coverage is not None:
+        for x in a:
+            for y in t:
+                coverage[1] += 1
+                if x == y or (word_in_vocab(x) and word_in_vocab(y)):
+                    coverage[0] += 1
     return min(_one_side(a, t, thresh), _one_side(t, a, thresh))
 
 

@@ -127,6 +127,7 @@ class NextQAEvaluator:
 
     def evaluate_raw(self, quesid2ans: Mapping[str, str]) -> Dict[str, float]:
         score = 0.0
+        coverage = [0, 0]           # word pairs resolved / scored by WUPS
         for qid, res in quesid2ans.items():
             d = self.id2datum[qid]
             res_n = self._norm(res)
@@ -142,16 +143,21 @@ class NextQAEvaluator:
                 cur = float(res_n == gt_n or (extra is not None
                                               and res_n == extra))
             else:
-                cur = get_wups(res_n, gt_n, 0)
+                cur = get_wups(res_n, gt_n, 0, coverage=coverage)
                 if extra is not None:
-                    cur = max(cur, get_wups(res_n, extra, 0))
+                    cur = max(cur, get_wups(res_n, extra, 0,
+                                            coverage=coverage))
             score += cur
         n = max(len(quesid2ans), 1)
         from vqacl_tpu.evaluation.wups import wups_backend
         return {"overall": 100.0 * score / n,
-                # surface which similarity source scored this run
-                # (VERDICT r1: the degraded path must not be silent)
-                "wups_backend": wups_backend()}
+                # surface which similarity source scored this run and how
+                # much of it resolved to real Wu-Palmer values vs the
+                # exact-match fallback (VERDICT r1/r2: a degraded eval
+                # must be visibly degraded)
+                "wups_backend": wups_backend(),
+                "wups_vocab_coverage": (coverage[0] / coverage[1]
+                                        if coverage[1] else 1.0)}
 
 
 class NextQADataModule:
