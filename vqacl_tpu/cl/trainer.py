@@ -88,10 +88,18 @@ class VQACLTrainer:
         self._tx = make_transform(cfg.train)
         # rbg PRNG: TPU-native hardware RNG for dropout masks — threefry
         # costs ~28ms/step on t5-base at bs80, rbg ~6ms
+        # params placed per cfg.mesh.param_layout (replicated / tp /
+        # fsdp); tx.init's zeros_like moments inherit the layout, so the
+        # whole optimizer state shards with the params
+        params = self._place_params(params)
         state = TrainState.create(params, self._tx, proto,
                                   jax.random.key(cfg.train.seed + 1,
                                                  impl="rbg"))
-        self.state = replicate(self.ctx, state)
+        self.state = state._replace(
+            step=replicate(self.ctx, state.step),
+            proto=replicate(self.ctx, state.proto),
+            rng=replicate(self.ctx, state.rng),
+            sched=replicate(self.ctx, state.sched))
 
         # HBM feature cache: whole feature table on device, batches carry
         # slot indices; ~8× real-training speedup vs per-step host upload
@@ -124,6 +132,20 @@ class VQACLTrainer:
         self.test_loader_dict_all: Dict[str, BatchLoader] = {}
 
     # ------------------------------------------------------------------
+    def _place_params(self, params):
+        """Place a params pytree per ``cfg.mesh.param_layout``:
+        "replicated" (reference DDP semantics), "tp" (Megatron head/
+        hidden sharding over the tp axis), or "fsdp" (ZeRO-3-style dp
+        sharding composed with tp) — parallel/sharding.py rules."""
+        layout = getattr(self.cfg.mesh, "param_layout", "replicated")
+        if layout == "tp":
+            from vqacl_tpu.parallel.sharding import shard_params
+            return shard_params(self.ctx.mesh, params)
+        if layout == "fsdp":
+            from vqacl_tpu.parallel.sharding import shard_params_fsdp
+            return shard_params_fsdp(self.ctx.mesh, params)
+        return replicate(self.ctx, params)
+
     def _train_step(self, use_memory_loss: bool):
         key = bool(use_memory_loss)
         if key not in self._train_step_cache:
@@ -153,7 +175,9 @@ class VQACLTrainer:
         bs = self.cfg.train.batch_size
         batch_per_epoch = max(int(total_train_num / bs), 1)
         t_total = batch_per_epoch * self.cfg.train.epochs
-        warmup = max(int(t_total * self.cfg.train.warmup_ratio), 1)
+        # int(t_total*ratio) with NO floor: warmup 0 -> full lr from step
+        # one, matching HF get_constant_schedule_with_warmup semantics
+        warmup = int(t_total * self.cfg.train.warmup_ratio)
         self.state = self.state.reset_optimizer(self._tx, warmup, t_total)
 
     # ------------------------------------------------------------------
@@ -164,7 +188,7 @@ class VQACLTrainer:
             params, proto, _ = load_checkpoint(
                 os.path.join(self.cfg.output, f"{resume_task}_LAST"))
             self.state = self.state._replace(
-                params=replicate(self.ctx, params),
+                params=self._place_params(params),
                 proto=replicate(self.ctx, proto))
             # rebuild exemplar-buffer history so the first resumed task
             # sees the same replay quota a continuous run would
@@ -363,7 +387,7 @@ class VQACLTrainer:
             params, proto, _ = load_checkpoint(
                 os.path.join(self.cfg.output, f"{task}_LAST"))
             self.state = self.state._replace(
-                params=replicate(self.ctx, params),
+                params=self._place_params(params),
                 proto=replicate(self.ctx, proto))
         trained_upto = self.tasks.index(task)
         for j in range(trained_upto + 1):

@@ -140,6 +140,10 @@ class MeshConfig:
     dtype: str = "bfloat16"      # compute dtype
     param_dtype: str = "float32"
     remat: bool = False          # jax.checkpoint the encoder/decoder blocks
+    # parameter placement: "replicated" (reference DDP semantics),
+    # "tp" (Megatron head/hidden sharding), "fsdp" (ZeRO-3-style dp
+    # sharding; composes with tp) — parallel/sharding.py
+    param_layout: str = "replicated"
 
 
 @dataclass
