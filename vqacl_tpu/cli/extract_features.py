@@ -44,9 +44,11 @@ def main(argv=None) -> None:
     p.add_argument("--images", default=None,
                    help="plain image directory (the default driver)")
     p.add_argument("--dataset", default=None,
-                   choices=["coco", "flickr30k", "vcr", "refcocog"],
+                   choices=["coco", "flickr30k", "vcr", "refcocog",
+                            "refcocog_mattnet"],
                    help="dataset-specific enumeration (the reference's "
-                        "per-dataset drivers: coco/flickr30k/vcr/refcocog)")
+                        "per-dataset drivers: coco/flickr30k/vcr/refcocog/"
+                        "refcocog_mattnet)")
     p.add_argument("--dataset_root", default=None)
     p.add_argument("--split", default=None)
     p.add_argument("--gt", action="store_true",
