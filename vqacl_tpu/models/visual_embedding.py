@@ -76,12 +76,19 @@ def apply_visual_embedding(p: Params, cfg, shared: jnp.ndarray,
         if img_order_ids is None:
             img_order_ids = jnp.zeros((1, N), jnp.int32)
         vis = vis + jnp.asarray(p["img_order"]).astype(dtype)[img_order_ids]
-        if obj_order_ids is None:
-            obj_order_ids = jnp.arange(N, dtype=jnp.int32)[None]
         # reference maps obj order i → vocab row (V - i - 1): the
         # <vis_extra_id_*> block at the top of the shared embedding
-        inv_ids = cfg.vocab_size - obj_order_ids - 1
-        vis = vis + jnp.asarray(shared)[inv_ids].astype(dtype)
+        if obj_order_ids is None:
+            # default arange path = the top N rows reversed — a STATIC
+            # slice, whose VJP is a pad instead of a full-vocab scatter
+            # (one fewer dense [V,d] f32 grad buffer per step)
+            rows = jax.lax.slice_in_dim(
+                jnp.asarray(shared), cfg.vocab_size - N, cfg.vocab_size,
+                axis=0)[::-1]
+            vis = vis + rows[None].astype(dtype)
+        else:
+            inv_ids = cfg.vocab_size - obj_order_ids - 1
+            vis = vis + jnp.asarray(shared)[inv_ids].astype(dtype)
 
     if "joint_ln" in p:
         vis = layer_norm(p["joint_ln"], vis, cfg.layer_norm_epsilon)

@@ -91,11 +91,15 @@ def _dropout_mask(seed, b, h, H, shape, rate):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
-                *, H, dk, L, dropout_rate):
+                *, H, dk, L, dropout_rate, p_ref=None):
     """Per-batch-element block: q/k/v/o [1,S,H*dk], bias [H,Lp,Lp] (the
     text-text block only — the joint-encoder bias is structurally zero
     elsewhere, modeling_t5_our.py:258-273), mask [1,1,S]. Heads are
-    [S,dk] panels of the minor dimension."""
+    [S,dk] panels of the minor dimension. With ``p_ref`` (train path)
+    the PRE-dropout probabilities are saved [1,H*S,S] f32 so the
+    backward kernel skips the scores dot + softmax recompute per head
+    (the bwd kernel is latency-bound on small serial dots — dropping
+    one of five is a measured win over the extra HBM round-trip)."""
     b = pl.program_id(0)
     qf = q_ref[0]                                  # [S, HD]
     kf = k_ref[0]
@@ -114,6 +118,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
         s = _add_block(s, bias_ref[h], L)
         s = s + neg[None, :]
         p = jax.nn.softmax(s, axis=-1)
+        if p_ref is not None:
+            p_ref[0, h * S:(h + 1) * S, :] = p
         if dropout_rate > 0.0:
             keep = _dropout_mask(seed_ref[0], b, h, H, p.shape, dropout_rate)
             p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
@@ -123,8 +129,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
+def _fwd_kernel_save_p(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref,
+                       o_ref, p_ref, *, H, dk, L, dropout_rate):
+    _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
+                H=H, dk=dk, L=L, dropout_rate=dropout_rate, p_ref=p_ref)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, p_ref, seed_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *, H, dk, L, dropout_rate):
+    """Backward over saved probabilities: p_ref [1,H*S,S] f32 from the
+    forward kernel replaces the per-head scores-dot + softmax recompute
+    (bias/mask no longer needed — they only fed the scores)."""
     b = pl.program_id(0)
     qf = q_ref[0]
     kf = k_ref[0]
@@ -132,7 +147,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
     dof = do_ref[0]
     S = qf.shape[0]
     Lp = dbias_ref.shape[-1]
-    neg = (1.0 - mask_ref[0, 0, :]) * NEG_INF
     dqs, dks, dvs, dbs = [], [], [], []
     for h in range(H):
         sl = slice(h * dk, (h + 1) * dk)
@@ -140,11 +154,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, do_ref,
         k = kf[:, sl].astype(jnp.float32)
         v = vf[:, sl].astype(jnp.float32)
         do = dof[:, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = _add_block(s, bias_ref[h], L)
-        s = s + neg[None, :]
-        p = jax.nn.softmax(s, axis=-1)             # [S,S]
+        p = p_ref[0, h * S:(h + 1) * S, :]         # [S,S] f32
         if dropout_rate > 0.0:
             keep = _dropout_mask(seed_ref[0], b, h, H, p.shape, dropout_rate)
             pd = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
@@ -186,50 +196,62 @@ def _seed_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L):
+def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L,
+              save_p: bool = False):
     B, S, HD = q.shape
     Lp = bias.shape[-1]
     spec = pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, spec,
+                pl.BlockSpec((H, Lp, Lp), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                _seed_spec()]
+    if save_p:
+        p_spec = pl.BlockSpec((1, H * S, S), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_save_p, H=H, dk=HD // H, L=L,
+                              dropout_rate=dropout_rate),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=[spec, p_spec],
+            out_shape=[jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+                       jax.ShapeDtypeStruct((B, H * S, S), jnp.float32)],
+            interpret=interpret,
+        )(q, k, v, bias, mask, seed)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, H=H, dk=HD // H, L=L,
                           dropout_rate=dropout_rate),
         grid=(B,),
-        in_specs=[spec, spec, spec,
-                  pl.BlockSpec((H, Lp, Lp), lambda b: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  _seed_spec()],
+        in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
         interpret=interpret,
     )(q, k, v, bias, mask, seed)
 
 
-def _call_bwd(q, k, v, bias, mask, seed, do, interpret, dropout_rate, H, L):
+def _call_bwd(q, k, v, p, seed, do, interpret, dropout_rate, H, L, Lp):
     B, S, HD = q.shape
-    Lp = bias.shape[-1]
     spec = pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((H, Lp, Lp), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((1, H * S, S), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, H=H, dk=HD // H, L=L,
                           dropout_rate=dropout_rate),
         grid=(B,),
-        in_specs=[spec, spec, spec, bias_spec,
-                  pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  _seed_spec(),
-                  spec],
+        in_specs=[spec, spec, spec, p_spec, _seed_spec(), spec],
         out_specs=[spec, spec, spec, bias_spec],
         out_shape=[jax.ShapeDtypeStruct((B, S, HD), q.dtype),
                    jax.ShapeDtypeStruct((B, S, HD), q.dtype),
                    jax.ShapeDtypeStruct((B, S, HD), q.dtype),
                    jax.ShapeDtypeStruct((H, Lp, Lp), jnp.float32)],
         interpret=interpret,
-    )(q, k, v, bias, mask, seed, do)
+    )(q, k, v, p, seed, do)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -249,14 +271,15 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _vjp_fwd(q, k, v, interpret, dropout_rate, H, L, bias, mask, seed):
-    o = _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L)
-    return o, (q, k, v, bias, mask, seed)
+    o, p = _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate,
+                     H, L, save_p=True)
+    return o, (q, k, v, p, seed, bias.shape[-1])
 
 
 def _vjp_bwd(interpret, dropout_rate, H, L, res, do):
-    q, k, v, bias, mask, seed = res
-    dq, dk, dv, dbias = _call_bwd(q, k, v, bias, mask, seed, do,
-                                  interpret, dropout_rate, H, L)
+    q, k, v, p, seed, Lp = res
+    dq, dk, dv, dbias = _call_bwd(q, k, v, p, seed, do,
+                                  interpret, dropout_rate, H, L, Lp)
     return dq, dk, dv, dbias, None, None
 
 
