@@ -89,7 +89,12 @@ def main() -> None:
     # ---- train throughput ----
     state, mtr = train_step(state, batch)           # compile
     float(mtr["loss"])
-    n_chunks, chunk = 4, 10
+    # chunk size: each chunk-end scalar pull pays one FULL tunnel round
+    # trip (~24 ms measured — see BENCH_NOTES "dispatch-chunk probe");
+    # 30-step chunks amortize that to <1 ms/step while still forcing
+    # execution every chunk. Production syncs even less (lazy epoch-end
+    # loss drain), so this is a conservative measurement.
+    n_chunks, chunk = 2, 30
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         for _ in range(chunk):
