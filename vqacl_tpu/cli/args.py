@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     # tpu
     p.add_argument("--mesh_dp", type=int, default=-1)
     p.add_argument("--mesh_tp", type=int, default=1)
+    p.add_argument("--param_layout", default="replicated",
+                   choices=["replicated", "tp", "fsdp"],
+                   help="parameter placement: replicated (reference DDP "
+                        "semantics), tp (Megatron head/hidden sharding), "
+                        "fsdp (ZeRO-3-style dp sharding)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--remat", action="store_true")
@@ -131,6 +136,7 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     t.lambda_V_new = args.lambda_V_new
     me.dp = args.mesh_dp
     me.tp = args.mesh_tp
+    me.param_layout = args.param_layout
     me.dtype = args.dtype
     me.remat = args.remat
     d.dataset_root = args.dataset_root

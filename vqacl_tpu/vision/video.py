@@ -29,7 +29,7 @@ Frame sources: a directory of frame images, a video file (cv2), or a
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
