@@ -29,6 +29,21 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def _to_bf16_fast(x: np.ndarray) -> np.ndarray:
+    """f32 → bf16 with round-to-nearest-even as pure integer numpy
+    (bf16 is the top 16 bits of f32; add 0x7FFF + lsb-of-kept-half
+    before truncating). ml_dtypes' astype is a software cast orders of
+    magnitude slower at GB scale; this runs at memory bandwidth.
+    NaNs keep a set mantissa bit through the carry, infs/overflow match
+    IEEE truncation semantics for finite feature data."""
+    import ml_dtypes
+
+    u = np.ascontiguousarray(x).view(np.uint32)
+    r = ((u >> np.uint32(16)) & np.uint32(1)) + np.uint32(0x7FFF)
+    return ((u + r) >> np.uint32(16)).astype(np.uint16).view(
+        ml_dtypes.bfloat16)
+
+
 class DeviceFeatureCache:
     """feats [N, n_boxes, feat_dim] + boxes [N, n_boxes, 4] on device.
 
@@ -58,11 +73,25 @@ class DeviceFeatureCache:
             sharding = mesh_ctx.replicated()
         else:
             sharding = None
-        f = jnp.asarray(feats, feat_dtype)
-        b = jnp.asarray(boxes, jnp.float32)
+        # convert on the HOST, then ship the narrow bytes. BOTH
+        # jnp.asarray(f32, bfloat16) (~49 s per 604 MB measured) and
+        # numpy astype(ml_dtypes.bfloat16) (software-emulated cast,
+        # slower still) are pathologically slow for GB-scale tables;
+        # _to_bf16_fast does the round-to-nearest-even truncation with
+        # integer numpy ops at memory bandwidth.
+        f_np = np.asarray(feats)
+        if np.dtype(feat_dtype) == np.dtype(jnp.bfloat16) and \
+                f_np.dtype == np.float32:
+            f_np = _to_bf16_fast(f_np)
+        else:
+            f_np = f_np.astype(np.dtype(feat_dtype), copy=False)
+        b_np = np.asarray(boxes).astype(np.float32, copy=False)
         if sharding is not None:
-            f = jax.device_put(f, sharding)
-            b = jax.device_put(b, sharding)
+            f = jax.device_put(f_np, sharding)
+            b = jax.device_put(b_np, sharding)
+        else:
+            f = jax.device_put(f_np)
+            b = jax.device_put(b_np)
         self.feats = f
         self.boxes = b
 
@@ -82,14 +111,31 @@ class DeviceFeatureCache:
                    shard: bool = False, feat_dtype=jnp.bfloat16
                    ) -> Tuple["DeviceFeatureCache", dict]:
         """Build from any host feature store; returns (cache,
-        {img_id: slot})."""
-        feats, boxes, slot_of = [], [], {}
-        for i, img in enumerate(img_ids):
+        {img_id: slot}).
+
+        The table is allocated ONCE in the target dtype and filled
+        per-image (f32→bf16 via ``_to_bf16_fast``): a full-scale cache
+        is ~2 GB bf16 vs the ~6 GB peak of stack-then-convert — on a
+        host that demand-pages cold memory slowly (this VM), halving
+        the first-touch footprint halves the build time."""
+        ids = list(img_ids)
+        n = len(ids)
+        f0, b0 = store.get(ids[0])
+        dt = np.dtype(feat_dtype)
+        to_bf16 = dt == np.dtype(jnp.bfloat16)
+        feats = np.empty((n,) + np.shape(f0), dt)
+        boxes = np.empty((n,) + np.shape(b0), np.float32)
+        slot_of = {}
+        for i, img in enumerate(ids):
             f, b = store.get(img)
-            feats.append(f)
-            boxes.append(b)
+            f = np.asarray(f)
+            if to_bf16 and f.dtype == np.float32:
+                feats[i] = _to_bf16_fast(f)
+            else:
+                feats[i] = f
+            boxes[i] = b
             slot_of[img] = i
-        return cls(np.stack(feats), np.stack(boxes), mesh_ctx=mesh_ctx,
+        return cls(feats, boxes, mesh_ctx=mesh_ctx,
                    shard=shard, feat_dtype=feat_dtype), slot_of
 
 
