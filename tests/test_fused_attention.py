@@ -127,6 +127,84 @@ def test_text_block_bias_matches_zero_padded_full(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_cross_attention_matches_reference(rng):
+    """Rectangular bias-free kernel (decoder cross-attention): q length
+    != kv length, forward and q/k/v grads vs the einsum reference."""
+    from vqacl_tpu.ops.fused_attention import fused_cross_attention
+
+    B, Tq, Sk, H, dk = 3, 9, 21, 4, 16
+    q = jnp.asarray(rng.normal(size=(B, Tq, H, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Sk, H, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Sk, H, dk)).astype(np.float32))
+    mask = np.ones((B, Sk), np.float32)
+    mask[0, 15:] = 0.0
+    mask[2, 5:] = 0.0
+    mask = jnp.asarray(mask)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32)
+        s = s + (1.0 - mask[:, None, None, :]) * -1e9
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v,
+                       preferred_element_type=jnp.float32)
+        return o.astype(q.dtype).reshape(B, Tq, H * dk)
+
+    def loss_fused(q, k, v):
+        o = fused_cross_attention(q, k, v, mask, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v):
+        o = ref(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    np.testing.assert_allclose(
+        np.asarray(fused_cross_attention(q, k, v, mask, interpret=True)),
+        np.asarray(ref(q, k, v)), rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad {name}")
+
+
+def test_decoder_stack_fused_matches_unfused(rng):
+    """Full decoder stack (causal self-attn kernel + rectangular cross
+    kernel) vs the einsum path — forward AND parameter gradients (incl.
+    the relative-bias table through the kernel's block-bias grad)."""
+    from vqacl_tpu.models import t5
+    from vqacl_tpu.utils.config import tiny_model_config
+
+    cfg = tiny_model_config(d_kv=16)
+    p = t5.init_stack(jax.random.PRNGKey(1), cfg, is_decoder=True)
+    B, T, S = 3, 9, 17
+    x = jnp.asarray(rng.normal(size=(B, T, cfg.d_model)).astype(np.float32))
+    enc = jnp.asarray(rng.normal(size=(B, S, cfg.d_model)).astype(np.float32))
+    em = np.ones((B, S), np.float32)
+    em[1, 12:] = 0.0
+    em = jnp.asarray(em)
+
+    def run(params, fused):
+        return t5.decoder_stack(params, cfg, x, enc, em, fused=fused)
+
+    np.testing.assert_allclose(np.asarray(run(p, {"interpret": True})),
+                               np.asarray(run(p, None)),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(params, fused):
+        return jnp.sum(jnp.sin(run(params, fused)))
+
+    g1 = jax.grad(lambda q: loss(q, {"interpret": True}))(p)
+    g2 = jax.grad(lambda q: loss(q, None))(p)
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(g2)[0]
+    for (path1, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad {jax.tree_util.keystr(path1)}")
+
+
 def test_shard_map_kernel_on_dp_mesh(rng):
     """The shard_map-wrapped kernel (multi-device path) must match the
     single-device kernel and the einsum reference on the 8-device CPU

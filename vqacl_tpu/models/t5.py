@@ -435,17 +435,101 @@ def causal_mask(L: int) -> jnp.ndarray:
     return jnp.tril(jnp.ones((L, L), jnp.float32))[None, None]
 
 
+def decoder_block_fused(p: Params, cfg, x: jnp.ndarray,
+                        self_bias: jnp.ndarray,
+                        enc_states: jnp.ndarray, enc_mask: jnp.ndarray,
+                        seeds: jnp.ndarray, interpret: bool = False,
+                        deterministic: bool = True, rng=None) -> jnp.ndarray:
+    """decoder_block with both attention cores in Pallas kernels.
+
+    ``self_bias`` [H,T,T] f32 is the full causal+relative additive bias
+    (batch-independent — the train path uses no decoder padding mask,
+    matching the reference's ``decoder_attention_mask=None``); cross
+    attention is the bias-free rectangular kernel masked by ``enc_mask``
+    [B,S]. ``seeds`` [2] — one dropout stream per attention."""
+    from vqacl_tpu.ops.fused_attention import (fused_cross_attention,
+                                               fused_encoder_attention)
+
+    merged = getattr(cfg, "merged_qkv", False) is True
+    mesh = getattr(cfg, "fused_mesh", None)
+    H, dkv = cfg.num_heads, cfg.d_kv
+    r = _split_rngs(rng, 4)
+    rate = 0.0 if deterministic else cfg.dropout_rate
+    B, T, D = x.shape
+    dt = x.dtype
+
+    h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
+    if merged:
+        q, k, v = qkv_proj_merged(p["attn"], h, H, dkv)
+    else:
+        q = (h @ p["attn"]["wq"].astype(dt)).reshape(B, T, H, dkv)
+        k = (h @ p["attn"]["wk"].astype(dt)).reshape(B, T, H, dkv)
+        v = (h @ p["attn"]["wv"].astype(dt)).reshape(B, T, H, dkv)
+    a = fused_encoder_attention(q, k, v, self_bias, jnp.ones((B, T)),
+                                interpret=interpret, dropout_rate=rate,
+                                seed=seeds[0:1], mesh=mesh)
+    a = a @ p["attn"]["wo"].astype(dt)
+    x = x + dropout(r[0], a, cfg.dropout_rate, deterministic)
+
+    h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
+    qc = (h @ p["cross_attn"]["wq"].astype(dt)).reshape(B, T, H, dkv)
+    if merged:
+        kc, vc = kv_proj_merged(p["cross_attn"], enc_states, H, dkv)
+    else:
+        S = enc_states.shape[1]
+        kc = (enc_states @ p["cross_attn"]["wk"].astype(dt)
+              ).reshape(B, S, H, dkv)
+        vc = (enc_states @ p["cross_attn"]["wv"].astype(dt)
+              ).reshape(B, S, H, dkv)
+    c = fused_cross_attention(qc, kc, vc, enc_mask, interpret=interpret,
+                              dropout_rate=rate, seed=seeds[1:2], mesh=mesh)
+    c = c @ p["cross_attn"]["wo"].astype(dt)
+    x = x + dropout(r[1], c, cfg.dropout_rate, deterministic)
+
+    h = layer_norm(p["ln3"], x, cfg.layer_norm_epsilon)
+    m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,
+                  deterministic, r[2])
+    return x + dropout(r[3], m, cfg.dropout_rate, deterministic)
+
+
 def decoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
                   enc_states: jnp.ndarray,
                   enc_mask: Optional[jnp.ndarray],
                   dec_mask: Optional[jnp.ndarray] = None,
                   deterministic: bool = True, rng=None,
-                  remat: bool = False) -> jnp.ndarray:
-    """Teacher-forced decoder. inputs_embeds [B,T,D]; enc_mask [B,S]."""
+                  remat: bool = False,
+                  fused: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
+    """Teacher-forced decoder. inputs_embeds [B,T,D]; enc_mask [B,S].
+
+    ``fused`` (dict, optional ``interpret``): run both attention cores
+    in the Pallas kernels — the causal+relative self bias [H,T,T] goes
+    in as a full-coverage block bias, cross attention as the bias-free
+    rectangular kernel. Requires ``dec_mask is None`` (the train path's
+    semantics) and an ``enc_mask``."""
     B, T, D = inputs_embeds.shape
     pb = compute_position_bias(p["rel_bias"], T, T, bidirectional=False,
                                num_buckets=cfg.relative_attention_num_buckets,
                                max_distance=cfg.relative_attention_max_distance)
+    if fused is not None and dec_mask is None and enc_mask is not None:
+        causal_add = (1.0 - jnp.tril(jnp.ones((T, T), jnp.float32))) * NEG_INF
+        self_bias_full = pb[0] + causal_add[None]          # [H,T,T]
+        r = _split_rngs(rng, cfg.num_decoder_layers + 2)
+        if rng is not None:
+            seeds = jax.random.randint(
+                jax.random.fold_in(rng, 11), (2 * cfg.num_decoder_layers,),
+                0, 2 ** 31 - 1, dtype=jnp.int32)
+        else:
+            seeds = jnp.zeros((2 * cfg.num_decoder_layers,), jnp.int32)
+        x = dropout(r[0], inputs_embeds, cfg.dropout_rate, deterministic)
+        block_fn = _maybe_checkpoint(decoder_block_fused, (1, 7, 8), remat)
+        for i in range(cfg.num_decoder_layers):
+            x = block_fn(p[f"block_{i}"], cfg, x, self_bias_full,
+                         enc_states, enc_mask, seeds[2 * i:2 * i + 2],
+                         fused.get("interpret", False),
+                         deterministic, r[i + 1])
+        x = layer_norm(p["final_ln"], x, cfg.layer_norm_epsilon)
+        return dropout(r[-1], x, cfg.dropout_rate, deterministic)
+
     cm = causal_mask(T)
     if dec_mask is not None:
         cm = cm * dec_mask[:, None, None, :]

@@ -191,8 +191,13 @@ def decode_hidden(params: Params, cfg, hidden: jnp.ndarray,
     dec_input_ids = t5.shift_right(labels, cfg.decoder_start_token_id,
                                    cfg.pad_token_id)
     dec_emb = t5.embed_tokens(params["shared"], dec_input_ids, dtype)
+    fused = None
+    if getattr(cfg, "fused_attention", False) is True \
+            and getattr(cfg, "fused_decoder", False):
+        fused = {"interpret": getattr(cfg, "fused_interpret", False)}
     return t5.decoder_stack(params["decoder"], cfg, dec_emb, hidden, enc_mask,
-                            deterministic=deterministic, rng=rng, remat=remat)
+                            deterministic=deterministic, rng=rng, remat=remat,
+                            fused=fused)
 
 
 def decode_train(params: Params, cfg, hidden: jnp.ndarray,

@@ -44,22 +44,25 @@ NEG_INF = -1e9
 def _add_block(s: jnp.ndarray, blk: jnp.ndarray, L: int) -> jnp.ndarray:
     """s[:Lp,:Lp] += blk, where blk [Lp,Lp] is zero beyond row/col L.
 
-    Implemented as zero-extension of ``blk`` to [S,S] followed by one
-    add: Mosaic has no scatter-add, and concatenating *slices of s*
-    trips its aligned-offset rules — fresh zero operands concat fine.
+    ``s`` may be rectangular [Tq, Sk] (decoder cross-attention).
+    Implemented as zero-extension of ``blk`` followed by one add:
+    Mosaic has no scatter-add, and concatenating *slices of s* trips
+    its aligned-offset rules — fresh zero operands concat fine.
     (Head-pair block-diagonal dot packing was also tried here to fill
     the MXU: measured no gain over the serial per-head dots, which
     Mosaic already pipelines — reverted for simplicity.)"""
     del L
-    S = s.shape[0]
+    Tq, Sk = s.shape
     Lp = blk.shape[0]
-    if Lp >= S:
-        return s + blk[:S, :S]
-    right = jnp.zeros((Lp, S - Lp), blk.dtype)
-    bottom = jnp.zeros((S - Lp, S), blk.dtype)
-    bpad = jnp.concatenate(
-        [jnp.concatenate([blk, right], axis=1), bottom], axis=0)
-    return s + bpad
+    blk = blk[:min(Lp, Tq), :min(Lp, Sk)]
+    if blk.shape[1] < Sk:
+        blk = jnp.concatenate(
+            [blk, jnp.zeros((blk.shape[0], Sk - blk.shape[1]), blk.dtype)],
+            axis=1)
+    if blk.shape[0] < Tq:
+        blk = jnp.concatenate(
+            [blk, jnp.zeros((Tq - blk.shape[0], Sk), blk.dtype)], axis=0)
+    return s + blk
 
 
 def _pad_block(db: jnp.ndarray, H: int, L: int, Lp: int) -> jnp.ndarray:
@@ -101,21 +104,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref,
     (the bwd kernel is latency-bound on small serial dots — dropping
     one of five is a measured win over the extra HBM round-trip)."""
     b = pl.program_id(0)
-    qf = q_ref[0]                                  # [S, HD]
-    kf = k_ref[0]
+    qf = q_ref[0]                                  # [Tq, HD]
+    kf = k_ref[0]                                  # [Sk, HD]
     vf = v_ref[0]
-    S = qf.shape[0]
-    neg = (1.0 - mask_ref[0, 0, :]) * NEG_INF      # [S]
+    S = qf.shape[0]                                # query length Tq
+    neg = (1.0 - mask_ref[0, 0, :]) * NEG_INF      # [Sk]
     outs = []
     for h in range(H):
         sl = slice(h * dk, (h + 1) * dk)
-        q = qf[:, sl].astype(jnp.float32)          # [S, dk]
+        q = qf[:, sl].astype(jnp.float32)          # [Tq, dk]
         k = kf[:, sl].astype(jnp.float32)
         v = vf[:, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [S, S]
-        s = _add_block(s, bias_ref[h], L)
+            preferred_element_type=jnp.float32)    # [Tq, Sk]
+        if L > 0:
+            s = _add_block(s, bias_ref[h], L)
         s = s + neg[None, :]
         p = jax.nn.softmax(s, axis=-1)
         if p_ref is not None:
@@ -137,15 +141,17 @@ def _fwd_kernel_save_p(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref,
 
 def _bwd_kernel(q_ref, k_ref, v_ref, p_ref, seed_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *, H, dk, L, dropout_rate):
-    """Backward over saved probabilities: p_ref [1,H*S,S] f32 from the
+    """Backward over saved probabilities: p_ref [1,H*Tq,Sk] f32 from the
     forward kernel replaces the per-head scores-dot + softmax recompute
-    (bias/mask no longer needed — they only fed the scores)."""
+    (bias/mask no longer needed — they only fed the scores). With
+    ``L == 0`` (bias-free cross-attention) dbias is written once as
+    zeros and the per-head block slices are skipped."""
     b = pl.program_id(0)
-    qf = q_ref[0]
-    kf = k_ref[0]
+    qf = q_ref[0]                                  # [Tq, HD]
+    kf = k_ref[0]                                  # [Sk, HD]
     vf = v_ref[0]
     dof = do_ref[0]
-    S = qf.shape[0]
+    S = qf.shape[0]                                # query length Tq
     Lp = dbias_ref.shape[-1]
     dqs, dks, dvs, dbs = [], [], [], []
     for h in range(H):
@@ -154,7 +160,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, p_ref, seed_ref, do_ref,
         k = kf[:, sl].astype(jnp.float32)
         v = vf[:, sl].astype(jnp.float32)
         do = dof[:, sl].astype(jnp.float32)
-        p = p_ref[0, h * S:(h + 1) * S, :]         # [S,S] f32
+        p = p_ref[0, h * S:(h + 1) * S, :]         # [Tq,Sk] f32
         if dropout_rate > 0.0:
             keep = _dropout_mask(seed_ref[0], b, h, H, p.shape, dropout_rate)
             pd = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
@@ -176,10 +182,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, p_ref, seed_ref, do_ref,
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
         dvs.append(dv)
-        dbs.append(ds[:L, :L])
+        if L > 0:
+            dbs.append(ds[:L, :L])
     dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
     dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+    if L == 0:
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        return
     db = _pad_block(jnp.stack(dbs, axis=0), H, L, Lp)   # [H,Lp,Lp]
 
     # accumulate bias grad across the (sequential) batch grid dimension
@@ -198,27 +210,30 @@ def _seed_spec():
 
 def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L,
               save_p: bool = False):
-    B, S, HD = q.shape
+    B, Tq, HD = q.shape
+    Sk = k.shape[1]
     Lp = bias.shape[-1]
-    spec = pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
-    in_specs = [spec, spec, spec,
+    q_spec = pl.BlockSpec((1, Tq, HD), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, Sk, HD), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [q_spec, kv_spec, kv_spec,
                 pl.BlockSpec((H, Lp, Lp), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, Sk), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 _seed_spec()]
     if save_p:
-        p_spec = pl.BlockSpec((1, H * S, S), lambda b: (b, 0, 0),
+        p_spec = pl.BlockSpec((1, H * Tq, Sk), lambda b: (b, 0, 0),
                               memory_space=pltpu.VMEM)
         return pl.pallas_call(
             functools.partial(_fwd_kernel_save_p, H=H, dk=HD // H, L=L,
                               dropout_rate=dropout_rate),
             grid=(B,),
             in_specs=in_specs,
-            out_specs=[spec, p_spec],
-            out_shape=[jax.ShapeDtypeStruct((B, S, HD), q.dtype),
-                       jax.ShapeDtypeStruct((B, H * S, S), jnp.float32)],
+            out_specs=[q_spec, p_spec],
+            out_shape=[jax.ShapeDtypeStruct((B, Tq, HD), q.dtype),
+                       jax.ShapeDtypeStruct((B, H * Tq, Sk), jnp.float32)],
             interpret=interpret,
         )(q, k, v, bias, mask, seed)
     return pl.pallas_call(
@@ -226,29 +241,32 @@ def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L,
                           dropout_rate=dropout_rate),
         grid=(B,),
         in_specs=in_specs,
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Tq, HD), q.dtype),
         interpret=interpret,
     )(q, k, v, bias, mask, seed)
 
 
 def _call_bwd(q, k, v, p, seed, do, interpret, dropout_rate, H, L, Lp):
-    B, S, HD = q.shape
-    spec = pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
+    B, Tq, HD = q.shape
+    Sk = k.shape[1]
+    q_spec = pl.BlockSpec((1, Tq, HD), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, Sk, HD), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((H, Lp, Lp), lambda b: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    p_spec = pl.BlockSpec((1, H * S, S), lambda b: (b, 0, 0),
+    p_spec = pl.BlockSpec((1, H * Tq, Sk), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, H=H, dk=HD // H, L=L,
                           dropout_rate=dropout_rate),
         grid=(B,),
-        in_specs=[spec, spec, spec, p_spec, _seed_spec(), spec],
-        out_specs=[spec, spec, spec, bias_spec],
-        out_shape=[jax.ShapeDtypeStruct((B, S, HD), q.dtype),
-                   jax.ShapeDtypeStruct((B, S, HD), q.dtype),
-                   jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+        in_specs=[q_spec, kv_spec, kv_spec, p_spec, _seed_spec(), q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, Tq, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, Sk, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, Sk, HD), q.dtype),
                    jax.ShapeDtypeStruct((H, Lp, Lp), jnp.float32)],
         interpret=interpret,
     )(q, k, v, p, seed, do)
@@ -286,32 +304,40 @@ def _vjp_bwd(interpret, dropout_rate, H, L, res, do):
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def fused_encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                            pos_bias: jnp.ndarray, mask: jnp.ndarray,
-                            interpret: bool = False,
-                            dropout_rate: float = 0.0,
-                            seed: jnp.ndarray | None = None,
-                            mesh=None, dp_axis: str = "dp") -> jnp.ndarray:
-    """q/k/v [B,S,H,dk] (the projection output — reshaped flat for free,
-    never transposed), pos_bias [H,L,L] f32 covering the first L
-    positions (pass [H,S,S] for a full bias), mask [B,S] → [B,S,H*dk].
+def _fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               pos_bias: jnp.ndarray | None, mask: jnp.ndarray,
+               interpret: bool = False,
+               dropout_rate: float = 0.0,
+               seed: jnp.ndarray | None = None,
+               mesh=None, dp_axis: str = "dp") -> jnp.ndarray:
+    """Shared rectangular core: q [B,Tq,H,dk], k/v [B,Sk,H,dk] (the
+    projection outputs — reshaped flat for free, never transposed),
+    pos_bias [H,L,L] f32 covering the first L query/key positions or
+    ``None`` (bias-free cross-attention, L=0 fast path), mask [B,Sk]
+    1=attend → [B,Tq,H*dk].
 
     ``mesh``: a ``pallas_call`` is not GSPMD-partitionable, so on a
     multi-device mesh the kernel runs under ``shard_map`` — batch dims
     split over ``dp_axis``, bias/seed replicated (shard_map's transpose
     psums the per-shard bias cotangents across ``dp``). Single-device
     callers pass ``mesh=None`` and skip the wrapper entirely."""
-    B, S, H, dk = q.shape
+    B, Tq, H, dk = q.shape
+    Sk = k.shape[1]
     HD = H * dk
-    L = pos_bias.shape[-1]
-    assert L <= S, (L, S)
-    Sp = int(np.ceil(S / 8) * 8)
-    Lp = int(np.ceil(L / 8) * 8)
-    q2 = _pad_to(q.reshape(B, S, HD), Sp, 1)
-    k2 = _pad_to(k.reshape(B, S, HD), Sp, 1)
-    v2 = _pad_to(v.reshape(B, S, HD), Sp, 1)
-    bias_p = _pad_to(_pad_to(pos_bias.astype(jnp.float32), Lp, 1), Lp, 2)
-    mask_p = _pad_to(mask.astype(jnp.float32), Sp, 1)[:, None, :]  # [B,1,S]
+    if pos_bias is None:
+        L = 0
+        bias_p = jnp.zeros((H, 8, 8), jnp.float32)   # dummy operand
+    else:
+        L = pos_bias.shape[-1]
+        assert L <= min(Tq, Sk), (L, Tq, Sk)
+        Lp = int(np.ceil(L / 8) * 8)
+        bias_p = _pad_to(_pad_to(pos_bias.astype(jnp.float32), Lp, 1), Lp, 2)
+    Tp = int(np.ceil(Tq / 8) * 8)
+    Sp = int(np.ceil(Sk / 8) * 8)
+    q2 = _pad_to(q.reshape(B, Tq, HD), Tp, 1)
+    k2 = _pad_to(k.reshape(B, Sk, HD), Sp, 1)
+    v2 = _pad_to(v.reshape(B, Sk, HD), Sp, 1)
+    mask_p = _pad_to(mask.astype(jnp.float32), Sp, 1)[:, None, :]  # [B,1,Sk]
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
 
@@ -339,4 +365,31 @@ def fused_encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     else:
         o = fused_attention(q2, k2, v2, interpret, dropout_rate, H, L,
                             bias_p, mask_p, seed)
-    return o[:, :S, :]
+    return o[:, :Tq, :]
+
+
+def fused_encoder_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            pos_bias: jnp.ndarray, mask: jnp.ndarray,
+                            interpret: bool = False,
+                            dropout_rate: float = 0.0,
+                            seed: jnp.ndarray | None = None,
+                            mesh=None, dp_axis: str = "dp") -> jnp.ndarray:
+    """Self-attention entry point: q/k/v [B,S,H,dk], pos_bias [H,L,L]
+    f32 covering the first L positions (pass [H,S,S] for a full bias —
+    e.g. the decoder's causal+relative bias), mask [B,S] → [B,S,H*dk]."""
+    return _fused_mha(q, k, v, pos_bias, mask, interpret=interpret,
+                      dropout_rate=dropout_rate, seed=seed, mesh=mesh,
+                      dp_axis=dp_axis)
+
+
+def fused_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          mask: jnp.ndarray,
+                          interpret: bool = False,
+                          dropout_rate: float = 0.0,
+                          seed: jnp.ndarray | None = None,
+                          mesh=None, dp_axis: str = "dp") -> jnp.ndarray:
+    """Bias-free rectangular attention (decoder cross-attention):
+    q [B,Tq,H,dk], k/v [B,Sk,H,dk], mask [B,Sk] → [B,Tq,H*dk]."""
+    return _fused_mha(q, k, v, None, mask, interpret=interpret,
+                      dropout_rate=dropout_rate, seed=seed, mesh=mesh,
+                      dp_axis=dp_axis)

@@ -70,6 +70,13 @@ class ModelConfig:
     # a strict True as enabled.
     fused_attention: object = "auto"
     fused_interpret: bool = False    # interpret mode (CPU tests)
+    # Pallas kernels for the TRAIN decoder (causal self-attn + rectangular
+    # cross-attn). Default off: measured +0.6 ms/step vs the XLA einsum
+    # path at the reference geometry (T=10, B=80 — the per-program kernel
+    # latency of 24 small-tensor grids outweighs the layout copies they
+    # remove; BENCH_NOTES round 3). The kernels are parity-tested and
+    # available for larger decoder geometries.
+    fused_decoder: bool = False
     # merged q/k/v (self) and k/v (cross) projection GEMMs
     # (t5.qkv_proj_merged). "auto" → True on single-device backends;
     # multi-device meshes keep separate projections (a weight concat
