@@ -117,6 +117,37 @@ def test_checkpoints_roundtrip_sharded(runs):
             metrics["Avg_acc"], abs=1e-6), layout
 
 
+def test_pipeline_layout_full_loop(tmp_path):
+    """Full CL orchestration on a dp=4×pp=2 GPipe mesh: the trainer
+    wires ``cfg.model.pp_mesh`` (cl/trainer.py) so encode/decode_hidden
+    route through parallel/pipeline.py. Dropout 0 on both sides makes
+    the pipelined run bit-comparable to the replicated one (the pp
+    dropout streams are intentionally folded differently)."""
+    def run(pp):
+        cfg = _cfg(tmp_path / f"pp{pp}")
+        cfg.model.dropout_rate = 0.0
+        cfg.mesh.dp, cfg.mesh.tp, cfg.mesh.pp = (4, 1, 2) if pp > 1 \
+            else (8, 1, 1)
+        cfg.mesh.pp_micro = 4
+        tok, data = _data(cfg)
+        ctx = make_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp, pp=cfg.mesh.pp)
+        trainer = VQACLTrainer(cfg, data, tok, verbose=False,
+                               mesh_ctx=ctx, dtype=jnp.float32)
+        metrics = trainer.train()
+        return trainer, metrics
+
+    t_ref, m_ref = run(pp=1)
+    t_pp, m_pp = run(pp=2)
+    assert t_pp.cfg.model.pp_mesh is not None     # wiring really engaged
+    assert np.isfinite(m_pp["Avg_acc"])
+    ref = t_ref.result_matrix.to_dict()
+    got = t_pp.result_matrix.to_dict()
+    for t_row, row in ref.items():
+        for t_col, v in row.items():
+            assert abs(got[t_row][t_col] - v) < 1e-6, \
+                (t_row, t_col, got[t_row][t_col], v)
+
+
 def test_resume_on_sharded_layout(runs, tmp_path):
     """Resume (--checkpoint semantics) re-places loaded params in the
     sharded layout and continues the task sequence."""

@@ -77,6 +77,12 @@ class VQACLTrainer:
         resolve_fused_attention(cfg.model,
                                 n_devices=self.ctx.mesh.devices.size,
                                 mesh=self.ctx.mesh)
+        # pipeline-parallel stacks (parallel/pipeline.py): record the
+        # mesh on the model config (non-field attr, like fused_mesh) so
+        # encode()/decode_hidden() route through the GPipe stacks
+        if self.ctx.pp > 1:
+            cfg.model.pp_mesh = self.ctx.mesh
+            cfg.model.pp_micro = getattr(cfg.mesh, "pp_micro", 4)
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         params = init_params if init_params is not None else \

@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     # tpu
     p.add_argument("--mesh_dp", type=int, default=-1)
     p.add_argument("--mesh_tp", type=int, default=1)
+    p.add_argument("--mesh_pp", type=int, default=1,
+                   help="pipeline-parallel stages (GPipe microbatching "
+                        "over a pp mesh axis; num_layers must divide)")
+    p.add_argument("--pp_micro", type=int, default=4,
+                   help="pipeline microbatches per step")
     p.add_argument("--param_layout", default="replicated",
                    choices=["replicated", "tp", "fsdp"],
                    help="parameter placement: replicated (reference DDP "
@@ -136,6 +141,8 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     t.lambda_V_new = args.lambda_V_new
     me.dp = args.mesh_dp
     me.tp = args.mesh_tp
+    me.pp = args.mesh_pp
+    me.pp_micro = args.pp_micro
     me.param_layout = args.param_layout
     me.dtype = args.dtype
     me.remat = args.remat

@@ -40,7 +40,7 @@ def main(argv=None) -> None:
         cfg.data.dataset_root, tok,
         add_reference_path=os.path.join(cfg.data.dataset_root,
                                         "add_reference_answer_test.json"))
-    ctx = make_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
+    ctx = make_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp, pp=cfg.mesh.pp)
     dtype = jnp.bfloat16 if cfg.mesh.dtype == "bfloat16" else jnp.float32
     # nextqa_CL.py runs comp/noncomp tests per task iff comp_cate is a
     # real group key (:421-423: ``if composition_test_cate in

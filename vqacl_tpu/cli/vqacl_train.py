@@ -34,7 +34,7 @@ def main(argv=None) -> None:
                          train_topk=cfg.data.train_topk,
                          valid_topk=cfg.data.valid_topk,
                          seed=cfg.train.seed)
-    ctx = make_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
+    ctx = make_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp, pp=cfg.mesh.pp)
     dtype = jnp.bfloat16 if cfg.mesh.dtype == "bfloat16" else jnp.float32
 
     init_params = None

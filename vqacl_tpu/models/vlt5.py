@@ -88,8 +88,18 @@ def encode(params: Params, cfg,
         dtype=dtype)
     inputs = jnp.concatenate([text_emb, vis_emb], axis=1)       # [B, S, D]
 
-    if getattr(cfg, "fused_attention", False) is True:   # "auto" = not yet
-                                                         # resolved → XLA path
+    if getattr(cfg, "pp_mesh", None) is not None:
+        # pipeline-parallel encoder stack (parallel/pipeline.py): the
+        # unfused bias/mask layout, blocks sharded over the pp axis
+        from vqacl_tpu.parallel.pipeline import encoder_stack_pp
+        pos_bias = joint_pos_bias(params, cfg, L, N)
+        mask_add = t5.attention_scores_bias(enc_mask[:, None, None, :], None)
+        hidden = encoder_stack_pp(
+            params["encoder"], cfg, inputs, pos_bias, mask_add,
+            cfg.pp_mesh, getattr(cfg, "pp_micro", 4),
+            deterministic=deterministic, rng=rng)
+    elif getattr(cfg, "fused_attention", False) is True:  # "auto" = not yet
+                                                          # resolved → XLA path
         # text-text block only: the joint bias is structurally zero
         # elsewhere (modeling_t5_our.py:258-273), so the kernel never
         # moves the [H,S,S] zeros (or their gradients) through HBM
@@ -191,6 +201,12 @@ def decode_hidden(params: Params, cfg, hidden: jnp.ndarray,
     dec_input_ids = t5.shift_right(labels, cfg.decoder_start_token_id,
                                    cfg.pad_token_id)
     dec_emb = t5.embed_tokens(params["shared"], dec_input_ids, dtype)
+    if getattr(cfg, "pp_mesh", None) is not None:
+        from vqacl_tpu.parallel.pipeline import decoder_stack_pp
+        return decoder_stack_pp(
+            params["decoder"], cfg, dec_emb, hidden, enc_mask,
+            cfg.pp_mesh, getattr(cfg, "pp_micro", 4),
+            deterministic=deterministic, rng=rng)
     fused = None
     if getattr(cfg, "fused_attention", False) is True \
             and getattr(cfg, "fused_decoder", False):

@@ -11,6 +11,9 @@ Axes:
   ``dp``   — data parallel (batch-sharded). The reference's only strategy.
   ``tp``   — tensor parallel (attention heads / MLP hidden sharded);
              an extension beyond the reference, off by default (tp=1).
+  ``pp``   — pipeline parallel (transformer blocks sharded stage-wise,
+             GPipe microbatching via ppermute — parallel/pipeline.py);
+             off by default (pp=1), axis only present when requested.
 """
 
 from __future__ import annotations
@@ -38,6 +41,10 @@ class MeshContext:
     def tp(self) -> int:
         return self.mesh.shape["tp"]
 
+    @property
+    def pp(self) -> int:
+        return dict(self.mesh.shape).get("pp", 1)
+
     def batch_sharding(self) -> NamedSharding:
         """Leading-axis (batch) sharding over the dp axis."""
         return NamedSharding(self.mesh, P("dp"))
@@ -46,11 +53,12 @@ class MeshContext:
         return NamedSharding(self.mesh, P())
 
 
-def make_mesh(dp: int = -1, tp: int = 1,
+def make_mesh(dp: int = -1, tp: int = 1, pp: int = 1,
               devices: Optional[Sequence[jax.Device]] = None,
               compute_dtype=jnp.bfloat16,
               param_dtype=jnp.float32) -> MeshContext:
-    """Build a 2-D ``(dp, tp)`` mesh. ``dp=-1`` takes all remaining devices.
+    """Build a ``(dp, tp)`` mesh — or ``(dp, tp, pp)`` when ``pp > 1``.
+    ``dp=-1`` takes all remaining devices.
 
     On a v5e-8 slice the default is an 8×1 mesh: pure data parallelism,
     matching the reference's DDP semantics with params replicated
@@ -59,10 +67,15 @@ def make_mesh(dp: int = -1, tp: int = 1,
     devs = np.array(devices if devices is not None else jax.devices())
     n = devs.size
     if dp == -1:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp == n, f"dp*tp={dp * tp} != n_devices={n}"
-    mesh = Mesh(devs.reshape(dp, tp), axis_names=("dp", "tp"))
+        assert n % (tp * pp) == 0, \
+            f"{n} devices not divisible by tp*pp={tp * pp}"
+        dp = n // (tp * pp)
+    assert dp * tp * pp == n, \
+        f"dp*tp*pp={dp * tp * pp} != n_devices={n}"
+    if pp > 1:
+        mesh = Mesh(devs.reshape(dp, tp, pp), axis_names=("dp", "tp", "pp"))
+    else:
+        mesh = Mesh(devs.reshape(dp, tp), axis_names=("dp", "tp"))
     return MeshContext(mesh=mesh, compute_dtype=compute_dtype,
                        param_dtype=param_dtype)
 

@@ -144,6 +144,8 @@ class MeshConfig:
 
     dp: int = -1                 # -1: all devices on the data axis
     tp: int = 1                  # tensor-parallel axis size
+    pp: int = 1                  # pipeline-parallel stages (GPipe,
+    pp_micro: int = 4            # parallel/pipeline.py) + microbatches
     dtype: str = "bfloat16"      # compute dtype
     param_dtype: str = "float32"
     remat: bool = False          # jax.checkpoint the encoder/decoder blocks
