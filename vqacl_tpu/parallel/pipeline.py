@@ -39,7 +39,14 @@ Params = Dict[str, Any]
 
 def stack_blocks(stack_params: Params, n_layers: int) -> Params:
     """[p["block_0"], ..., p["block_{n-1}"]] → one pytree with a leading
-    layer axis (shardable over ``pp``). All blocks share a structure."""
+    layer axis (shardable over ``pp``). All blocks share a structure.
+
+    Called inside the jitted step, so the stack is re-materialized per
+    step; under GSPMD each pp stage only writes its own layer slice, but
+    a production pp deployment that is HBM-traffic-sensitive should keep
+    params in this stacked layout end-to-end (optimizer + checkpoints)
+    rather than per-block dicts — kept per-block here so every other
+    layout (dp/tp/fsdp, the repo defaults) shares one parameter tree."""
     blocks = [stack_params[f"block_{i}"] for i in range(n_layers)]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
 
