@@ -9,11 +9,21 @@ in-memory), optional on-the-fly region extraction for raw images.
     predictor = VQAPredictor.from_checkpoint("snap/vqacl/q_causal_LAST",
                                              tokenizer, feature_store)
     answers = predictor.answer(["what color is the cat?"], ["COCO_..._42"])
+
+For online serving, ``VQAServer`` adds continuous batching on top:
+concurrent ``submit()`` calls (one per in-flight request) coalesce into
+single compiled decode calls on a background worker, so TPU batch fill
+tracks offered load instead of per-caller batch sizes.
+``cli/serve_http.py`` exposes it over HTTP.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -58,22 +68,161 @@ class VQAPredictor:
             })
         return out
 
+    def decode_chunk(self, chunk: List[Dict]) -> List[str]:
+        """One compiled decode call on ≤ batch_size prepared examples."""
+        assert len(chunk) <= self.batch_size, (len(chunk), self.batch_size)
+        m = self.cfg.model
+        b = collate(chunk, max_text_length=m.max_text_length,
+                    n_boxes=m.n_boxes,
+                    target_max_length=m.target_max_length,
+                    n_ques_types=m.n_ques_types,
+                    n_categories=m.n_categories, feat_dim=m.feat_dim,
+                    pad_to_batch=self.batch_size, with_targets=False)
+        tokens = np.asarray(self._eval(self.params, self.proto,
+                                       b["tensors"]))
+        return self.tok.batch_decode(tokens[:len(chunk)])
+
     def answer(self, questions: Sequence[str],
                img_ids: Sequence[str]) -> List[str]:
         """Batched answers (padded to the static batch size)."""
         assert len(questions) == len(img_ids)
         exs = self._examples(questions, img_ids)
-        m = self.cfg.model
         answers: List[str] = []
         for s in range(0, len(exs), self.batch_size):
-            chunk = exs[s:s + self.batch_size]
-            b = collate(chunk, max_text_length=m.max_text_length,
-                        n_boxes=m.n_boxes,
-                        target_max_length=m.target_max_length,
-                        n_ques_types=m.n_ques_types,
-                        n_categories=m.n_categories, feat_dim=m.feat_dim,
-                        pad_to_batch=self.batch_size, with_targets=False)
-            tokens = np.asarray(self._eval(self.params, self.proto,
-                                           b["tensors"]))
-            answers.extend(self.tok.batch_decode(tokens[:len(chunk)]))
+            answers.extend(self.decode_chunk(exs[s:s + self.batch_size]))
         return answers
+
+
+class VQAServer:
+    """Continuous-batching online server over one ``VQAPredictor``.
+
+    Requests enter through :meth:`submit` (thread-safe, returns a
+    ``Future``); a single background worker drains the queue, coalescing
+    whatever is in flight — up to the predictor's static batch size,
+    waiting at most ``max_wait_ms`` after the first request of a batch —
+    into ONE compiled decode call. This is the serving counterpart of the
+    reference's offline ``predict()`` loop (``vqacl.py:364-389``): batch
+    fill follows offered load, the compiled program never re-traces
+    (static bucket padding), and a bad request (unknown ``img_id``,
+    feature-store IO error) fails only its own future, never the batch.
+
+    Per-request example prep (tokenize + feature fetch) runs on the
+    caller's thread at submit time, so the worker thread spends its time
+    only on device steps — callers are the natural host-side parallelism.
+    """
+
+    _STOP = object()
+
+    def __init__(self, predictor: VQAPredictor, max_wait_ms: float = 5.0,
+                 latency_window: int = 1024):
+        self.predictor = predictor
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._requests = 0
+        self._batches = 0
+        self._batched_items = 0
+        self._errors = 0
+        self._lat = []              # ring buffer of request latencies (s)
+        self._lat_cap = latency_window
+        self._closed = False
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="vqa-server-worker")
+        self._worker.start()
+
+    # -- client side ----------------------------------------------------
+    def submit(self, question: str, img_id: str) -> "Future":
+        """Enqueue one request; resolve to the answer string."""
+        fut: Future = Future()
+        if self._closed:
+            fut.set_exception(RuntimeError("VQAServer is closed"))
+            return fut
+        with self._lock:
+            self._requests += 1
+        try:
+            ex = self.predictor._examples([question], [img_id])[0]
+        except Exception as e:          # unknown img_id / store IO error
+            with self._lock:
+                self._errors += 1
+            fut.set_exception(e)
+            return fut
+        self._q.put((ex, fut, time.monotonic()))
+        return fut
+
+    def answer(self, questions: Sequence[str],
+               img_ids: Sequence[str]) -> List[str]:
+        """Synchronous convenience: submit all, wait for all."""
+        futs = [self.submit(q, i) for q, i in zip(questions, img_ids)]
+        return [f.result() for f in futs]
+
+    # -- worker side ----------------------------------------------------
+    def _loop(self) -> None:
+        cap = self.predictor.batch_size
+        while True:
+            first = self._q.get()
+            if first is self._STOP:
+                return
+            batch: List[Tuple] = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < cap:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is self._STOP:
+                    self._q.put(item)   # re-queue for the outer loop
+                    break
+                batch.append(item)
+            exs = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            try:
+                answers = self.predictor.decode_chunk(exs)
+            except Exception as e:      # device-side failure: fail batch
+                with self._lock:
+                    self._errors += len(futs)
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+                continue
+            now = time.monotonic()
+            with self._lock:
+                self._batches += 1
+                self._batched_items += len(batch)
+                for (_, _, t0) in batch:
+                    if len(self._lat) >= self._lat_cap:
+                        self._lat.pop(0)
+                    self._lat.append(now - t0)
+            for f, a in zip(futs, answers):
+                f.set_result(a)
+
+    # -- lifecycle / telemetry ------------------------------------------
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            n = len(lat)
+            return {
+                "requests": self._requests,
+                "batches": self._batches,
+                "errors": self._errors,
+                "mean_batch_fill": (self._batched_items / self._batches
+                                    if self._batches else 0.0),
+                "batch_capacity": self.predictor.batch_size,
+                "latency_p50_ms": 1e3 * lat[n // 2] if n else None,
+                "latency_p99_ms": (1e3 * lat[min(n - 1, (99 * n) // 100)]
+                                   if n else None),
+            }
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Drain in-flight work and stop the worker."""
+        self._closed = True
+        self._q.put(self._STOP)
+        self._worker.join(timeout=timeout)
+
+    def __enter__(self) -> "VQAServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
