@@ -200,3 +200,66 @@ def test_fused_head_loss_matches_reference_chain():
         hidden, shared, labels, sc, rescale))(scores)
     np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=4 must reproduce the full-batch step: the loss is a
+    per-example batch mean, so averaged microbatch grads equal the
+    full-batch grads (dropout off, prototype bank threads per
+    microbatch — disabled here for exactness)."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg.model = dataclasses.replace(cfg.model, dropout_rate=0.0,
+                                    use_prototype=False)
+    cfg.train.grad_accum = 1
+    tx = make_transform(cfg.train)
+    proto = ProtoState.create(cfg.model.n_ques_types,
+                              cfg.model.n_categories, cfg.model.d_model)
+    data = SyntheticVQA(16, seed=3, feat_dim=cfg.model.feat_dim,
+                        n_boxes=cfg.model.n_boxes,
+                        text_len=cfg.model.max_text_length,
+                        vocab_size=cfg.model.vocab_size, answer_vocab=8)
+    batch = next(iter(data.batches(16, seed=0)))["tensors"]
+
+    def run(accum):
+        import copy
+        c = copy.deepcopy(cfg)
+        c.train.grad_accum = accum
+        params = init_vlt5_params(jax.random.PRNGKey(0), c.model)
+        state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1),
+                                  warmup_iters=4.0, t_total=40.0)
+        step = make_train_step(c, tx, dtype=jnp.float32, donate=False)
+        state, m = step(state, batch)
+        return state, m
+
+    s1, m1 = run(1)
+    s4, m4 = run(4)
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m4["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-5)
+    flat1 = jax.tree.leaves(s1.params)
+    flat4 = jax.tree.leaves(s4.params)
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    cfg = tiny_cfg()
+    cfg.train.grad_accum = 3
+    tx = make_transform(cfg.train)
+    proto = ProtoState.create(cfg.model.n_ques_types,
+                              cfg.model.n_categories, cfg.model.d_model)
+    params = init_vlt5_params(jax.random.PRNGKey(0), cfg.model)
+    state = TrainState.create(params, tx, proto, jax.random.PRNGKey(1),
+                              warmup_iters=4.0, t_total=40.0)
+    data = SyntheticVQA(16, seed=3, feat_dim=cfg.model.feat_dim,
+                        n_boxes=cfg.model.n_boxes,
+                        text_len=cfg.model.max_text_length,
+                        vocab_size=cfg.model.vocab_size, answer_vocab=8)
+    batch = next(iter(data.batches(16, seed=0)))["tensors"]
+    step = make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, batch)

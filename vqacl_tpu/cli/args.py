@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas fused encoder attention (auto: on for "
                         "single-device TPU runs)")
     p.add_argument("--clip_grad_norm", type=float, default=5.0)
+    p.add_argument("--gradient_accumulation_steps", "--grad_accum",
+                   dest="grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (reference flag, param.py:108; here it actually accumulates)")
     p.add_argument("--batch_size", type=int, default=80)
     p.add_argument("--valid_batch_size", type=int, default=100)
     p.add_argument("--epochs", type=int, default=3)
@@ -123,6 +126,7 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     cfg.model.fused_attention = {"auto": "auto", "on": True,
                                  "off": False}[args.fused_attention]
     t.clip_grad_norm = args.clip_grad_norm
+    t.grad_accum = args.grad_accum
     t.batch_size = args.batch_size
     t.valid_batch_size = args.valid_batch_size
     t.epochs = args.epochs

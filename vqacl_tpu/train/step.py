@@ -54,12 +54,49 @@ def make_train_step(cfg, tx: optax.GradientTransformation,
         return out.loss, (out.proto_state, out.aux)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    accum = int(getattr(tcfg, "grad_accum", 1))
+
+    def _accum_grads(state, batch, step_rng):
+        """lax.scan over ``accum`` equal microbatches: averaged grads are
+        bit-for-bit the full-batch grads (the loss is a per-example batch
+        mean), at 1/accum the activation memory. The prototype EMA bank
+        threads sequentially through the microbatches — the same
+        semantics as running the reference at the micro batch size. The
+        reference declares ``--gradient_accumulation_steps``
+        (param.py:108) but only ever divides its schedule length by it
+        (trainer_base.py:139); this is the working version."""
+        B = next(iter(batch.values())).shape[0]
+        if B % accum:
+            raise ValueError(f"batch size {B} not divisible by "
+                             f"grad_accum={accum}")
+
+        def _split(x):
+            return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+        mbs = jax.tree.map(_split, batch)
+        rngs = jax.random.split(step_rng, accum)
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            proto_c, gsum = carry
+            mb, r = xs
+            (l, (proto_c, aux)), g = grad_fn(state.params, proto_c, mb, r)
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            return (proto_c, gsum), (l, aux)
+
+        (proto, gsum), (losses, auxes) = jax.lax.scan(
+            body, (state.proto, zeros), (mbs, rngs))
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        return losses.mean(), proto, jax.tree.map(jnp.mean, auxes), grads
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng, step_rng = jax.random.split(state.rng)
-        (loss, (proto, aux)), grads = grad_fn(
-            state.params, state.proto, batch, step_rng)
+        if accum > 1:
+            loss, proto, aux, grads = _accum_grads(state, batch, step_rng)
+        else:
+            (loss, (proto, aux)), grads = grad_fn(
+                state.params, state.proto, batch, step_rng)
         # LR-less AdamW direction, then dynamic schedule (see optim.py)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         lr = dynamic_lr(state.step.astype(jnp.float32), state.sched,

@@ -110,6 +110,10 @@ class TrainConfig:
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     clip_grad_norm: float = 5.0
+    # microbatches per optimizer step (lax.scan inside the compiled
+    # step; averaged grads == full-batch grads — train/step.py). The
+    # reference declares this flag but never accumulates (param.py:108).
+    grad_accum: int = 1
     batch_size: int = 80
     valid_batch_size: int = 100
     epochs: int = 3
