@@ -148,3 +148,38 @@ def test_http_roundtrip(predictor):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_hbm_cache_serving_matches_host_path(predictor):
+    """Predictor over the HBM-resident feature table must answer
+    identically to the host-fed path (same params, f32 cache)."""
+    from vqacl_tpu.data.device_cache import DeviceFeatureCache
+    from vqacl_tpu.serve import VQAPredictor
+
+    store = predictor.features
+    ids = sorted(store.table)
+    cache, slot_of = DeviceFeatureCache.from_store(
+        store, ids, feat_dtype=jnp.float32)
+    cached = VQAPredictor(predictor.cfg, predictor.params, predictor.proto,
+                          predictor.tok, None, batch_size=4,
+                          dtype=jnp.float32, device_cache=cache,
+                          slot_of=slot_of)
+    qs = [f"question {i}?" for i in range(6)]
+    imgs = [f"img{i}" for i in range(6)]
+    assert cached.answer(qs, imgs) == predictor.answer(qs, imgs)
+
+
+def test_pipelined_server_resolves_all(predictor):
+    """pipeline_depth>=1 (dispatch runs ahead, finisher thread pulls)
+    must resolve every future with the same answers as the synchronous
+    path."""
+    from vqacl_tpu.serve import VQAServer
+
+    qs = [f"question {i}?" for i in range(8)]
+    imgs = [f"img{i}" for i in range(8)]
+    with VQAServer(predictor, max_wait_ms=5.0) as sync_srv:
+        expected = sync_srv.answer(qs, imgs)
+    with VQAServer(predictor, max_wait_ms=5.0, pipeline_depth=2) as srv:
+        got = srv.answer(qs, imgs)
+        assert got == expected
+        assert srv.stats()["errors"] == 0

@@ -104,6 +104,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--pipeline_depth", type=int, default=0,
+                   help="device calls the dispatcher may run ahead of the result-pull stage (0 = synchronous; see serve.VQAServer)")
     a = p.parse_args(argv)
 
     from vqacl_tpu.data.features import H5FeatureStore
@@ -114,7 +116,8 @@ def main(argv: Optional[list] = None) -> None:
     pred = VQAPredictor.from_checkpoint(a.checkpoint, VLT5Tokenizer(),
                                         store, batch_size=a.batch_size,
                                         num_beams=a.num_beams)
-    with VQAServer(pred, max_wait_ms=a.max_wait_ms) as srv:
+    with VQAServer(pred, max_wait_ms=a.max_wait_ms,
+                   pipeline_depth=a.pipeline_depth) as srv:
         httpd = make_http_server(srv, a.host, a.port)
         print(f"serving on http://{a.host}:{httpd.server_address[1]} "
               f"(batch {a.batch_size}, beams {a.num_beams}, "

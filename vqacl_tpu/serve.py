@@ -39,14 +39,30 @@ from vqacl_tpu.utils.config import Config
 class VQAPredictor:
     def __init__(self, cfg: Config, params, proto: ProtoState, tokenizer,
                  feature_store, batch_size: int = 16,
-                 num_beams: int = 1, dtype=jnp.bfloat16):
+                 num_beams: int = 1, dtype=jnp.bfloat16,
+                 device_cache=None, slot_of: Optional[Dict[str, int]] = None):
+        """``device_cache``/``slot_of`` (a ``DeviceFeatureCache`` and its
+        img_id→slot map, data/device_cache.py) switch serving to the
+        HBM-resident feature table: requests carry int32 slots, the
+        gather runs inside the compiled step, and per-batch host→device
+        traffic drops from ~MB of features to bytes of indices — same
+        tiering the trainer uses (``--device_cache``)."""
         self.cfg = cfg
         self.params = params
         self.proto = proto
         self.tok = tokenizer
         self.features = feature_store
         self.batch_size = batch_size
-        self._eval = make_eval_step(cfg, dtype=dtype, num_beams=num_beams)
+        self._slot_of = slot_of
+        if device_cache is not None:
+            from vqacl_tpu.data.device_cache import make_cached_eval_step
+            assert slot_of is not None, "device_cache requires slot_of"
+            self._eval = make_cached_eval_step(cfg, device_cache,
+                                               dtype=dtype,
+                                               num_beams=num_beams)
+        else:
+            self._eval = make_eval_step(cfg, dtype=dtype,
+                                        num_beams=num_beams)
 
     @classmethod
     def from_checkpoint(cls, path: str, tokenizer, feature_store,
@@ -59,17 +75,25 @@ class VQAPredictor:
                   img_ids: Sequence[str]) -> List[Dict]:
         out = []
         for q, img in zip(questions, img_ids):
-            feats, boxes = self.features.get(img)
-            out.append({
+            ex = {
                 "input_ids": self.tok.encode(
                     f"vqa: {q}", max_length=self.cfg.model.max_text_length),
-                "vis_feats": feats, "boxes": boxes,
                 "ques_label": 0, "cate_label": 0,
-            })
+            }
+            if self._slot_of is not None:       # HBM-cache serving
+                ex["slot"] = self._slot_of[img]
+            else:
+                feats, boxes = self.features.get(img)
+                ex["vis_feats"], ex["boxes"] = feats, boxes
+            out.append(ex)
         return out
 
-    def decode_chunk(self, chunk: List[Dict]) -> List[str]:
-        """One compiled decode call on ≤ batch_size prepared examples."""
+    def dispatch_chunk(self, chunk: List[Dict]):
+        """Launch one compiled decode call on ≤ batch_size prepared
+        examples; returns the DEVICE token array without synchronizing
+        (the host↔device round trip happens in :meth:`finish_chunk`),
+        so a server can overlap the next batch's dispatch with this
+        one's result pull."""
         assert len(chunk) <= self.batch_size, (len(chunk), self.batch_size)
         m = self.cfg.model
         b = collate(chunk, max_text_length=m.max_text_length,
@@ -78,9 +102,15 @@ class VQAPredictor:
                     n_ques_types=m.n_ques_types,
                     n_categories=m.n_categories, feat_dim=m.feat_dim,
                     pad_to_batch=self.batch_size, with_targets=False)
-        tokens = np.asarray(self._eval(self.params, self.proto,
-                                       b["tensors"]))
-        return self.tok.batch_decode(tokens[:len(chunk)])
+        return self._eval(self.params, self.proto, b["tensors"])
+
+    def finish_chunk(self, tokens_dev, n: int) -> List[str]:
+        """Pull + detokenize a :meth:`dispatch_chunk` result."""
+        return self.tok.batch_decode(np.asarray(tokens_dev)[:n])
+
+    def decode_chunk(self, chunk: List[Dict]) -> List[str]:
+        """One compiled decode call on ≤ batch_size prepared examples."""
+        return self.finish_chunk(self.dispatch_chunk(chunk), len(chunk))
 
     def answer(self, questions: Sequence[str],
                img_ids: Sequence[str]) -> List[str]:
@@ -114,7 +144,16 @@ class VQAServer:
     _STOP = object()
 
     def __init__(self, predictor: VQAPredictor, max_wait_ms: float = 5.0,
-                 latency_window: int = 1024):
+                 latency_window: int = 1024, pipeline_depth: int = 0):
+        """``pipeline_depth=0`` (default): the worker decodes each batch
+        synchronously — the device call itself becomes the batching
+        window, so under closed-loop load batches fill to the number of
+        waiting clients and request latency is minimal (measured best on
+        this setup, BENCH_NOTES "online serving"). ``pipeline_depth>=1``
+        lets the dispatch worker run ahead by that many device calls
+        while a finisher thread pulls tokens and detokenizes — worth it
+        only when offered load exceeds what the synchronous loop
+        sustains (open-loop traffic, multi-core hosts)."""
         self.predictor = predictor
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
@@ -126,8 +165,16 @@ class VQAServer:
         self._lat = []              # ring buffer of request latencies (s)
         self._lat_cap = latency_window
         self._closed = False
+        self._pipelined = int(pipeline_depth) >= 1
         self._worker = threading.Thread(target=self._loop, daemon=True,
-                                        name="vqa-server-worker")
+                                        name="vqa-server-dispatch")
+        if self._pipelined:
+            self._fin_q: "queue.Queue" = queue.Queue(
+                maxsize=int(pipeline_depth))
+            self._finisher = threading.Thread(target=self._finish_loop,
+                                              daemon=True,
+                                              name="vqa-server-finish")
+            self._finisher.start()
         self._worker.start()
 
     # -- client side ----------------------------------------------------
@@ -179,7 +226,7 @@ class VQAServer:
             exs = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             try:
-                answers = self.predictor.decode_chunk(exs)
+                tokens_dev = self.predictor.dispatch_chunk(exs)
             except Exception as e:      # device-side failure: fail batch
                 with self._lock:
                     self._errors += len(futs)
@@ -187,16 +234,40 @@ class VQAServer:
                     if not f.done():
                         f.set_exception(e)
                 continue
-            now = time.monotonic()
+            if self._pipelined:
+                # bounded put = backpressure: at most pipeline_depth
+                # device calls in flight before dispatch stalls
+                self._fin_q.put((tokens_dev, batch, futs))
+            else:
+                self._finish_batch(tokens_dev, batch, futs)
+
+    def _finish_loop(self) -> None:
+        while True:
+            item = self._fin_q.get()
+            if item is self._STOP:
+                return
+            self._finish_batch(*item)
+
+    def _finish_batch(self, tokens_dev, batch, futs) -> None:
+        try:
+            answers = self.predictor.finish_chunk(tokens_dev, len(batch))
+        except Exception as e:
             with self._lock:
-                self._batches += 1
-                self._batched_items += len(batch)
-                for (_, _, t0) in batch:
-                    if len(self._lat) >= self._lat_cap:
-                        self._lat.pop(0)
-                    self._lat.append(now - t0)
-            for f, a in zip(futs, answers):
-                f.set_result(a)
+                self._errors += len(futs)
+            for f in futs:
+                if not f.done():
+                    f.set_exception(e)
+            return
+        now = time.monotonic()
+        with self._lock:
+            self._batches += 1
+            self._batched_items += len(batch)
+            for (_, _, t0) in batch:
+                if len(self._lat) >= self._lat_cap:
+                    self._lat.pop(0)
+                self._lat.append(now - t0)
+        for f, a in zip(futs, answers):
+            f.set_result(a)
 
     # -- lifecycle / telemetry ------------------------------------------
     def stats(self) -> Dict:
@@ -216,10 +287,13 @@ class VQAServer:
             }
 
     def close(self, timeout: float = 10.0) -> None:
-        """Drain in-flight work and stop the worker."""
+        """Drain in-flight work and stop the stage threads in order."""
         self._closed = True
         self._q.put(self._STOP)
         self._worker.join(timeout=timeout)
+        if self._pipelined:
+            self._fin_q.put(self._STOP)
+            self._finisher.join(timeout=timeout)
 
     def __enter__(self) -> "VQAServer":
         return self
