@@ -81,3 +81,61 @@ def test_beam_eval_step_runs(tmp_path):
     toks = np.asarray(ev(params, proto, batch))
     assert toks.shape[0] == 8
     assert np.isfinite(toks).all()
+
+
+def test_async_checkpointer_roundtrip_and_error(tmp_path):
+    """Background writer produces byte-identical checkpoints to the
+    sync path (atomic tmp+replace), and a failed write surfaces at the
+    next wait() instead of being swallowed."""
+    import numpy as np
+
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.train.checkpoint import (AsyncCheckpointer,
+                                            load_checkpoint,
+                                            save_checkpoint)
+
+    params = {"layer": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                        "b": np.zeros(3, np.float32)}}
+    proto = ProtoState.create(4, 5, 3)
+
+    sync_p = str(tmp_path / "sync")
+    async_p = str(tmp_path / "async")
+    save_checkpoint(sync_p, params, proto, step=7)
+    w = AsyncCheckpointer()
+    w.save(async_p, params, proto, step=7)
+    w.wait()
+
+    pa, pra, sa = load_checkpoint(async_p)
+    ps, prs, ss = load_checkpoint(sync_p)
+    assert sa == ss == 7
+    np.testing.assert_array_equal(pa["layer"]["w"], ps["layer"]["w"])
+    np.testing.assert_array_equal(pra.q_proto, prs.q_proto)
+    # no stray tmp files
+    assert not [f for f in tmp_path.iterdir() if f.name.endswith(".tmp")]
+
+    # unwritable destination: error is raised by wait(), then cleared
+    w.save(str(tmp_path / "no_dir_here" / "x" / "y" / "\0bad"), params,
+           proto)
+    import pytest
+    with pytest.raises(Exception):
+        w.wait()
+    w.wait()          # error consumed; writer reusable
+
+    # a failed overwrite must leave the previous file intact
+    good = str(tmp_path / "keep")
+    save_checkpoint(good, params, proto, step=1)
+    before = (tmp_path / "keep.npz").read_bytes()
+    try:
+        import vqacl_tpu.train.checkpoint as ck
+        orig = ck.np.savez
+
+        def boom(*a, **k):
+            raise IOError("disk full")
+
+        ck.np.savez = boom
+        w.save(good, params, proto, step=2)
+        with pytest.raises(IOError):
+            w.wait()
+    finally:
+        ck.np.savez = orig
+    assert (tmp_path / "keep.npz").read_bytes() == before

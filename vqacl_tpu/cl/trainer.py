@@ -40,7 +40,8 @@ from vqacl_tpu.data.partition import BatchLoader, group_loaders, all_loader
 from vqacl_tpu.models.prototype import ProtoState
 from vqacl_tpu.models.vlt5 import init_vlt5_params
 from vqacl_tpu.parallel import make_mesh, replicate, shard_batch
-from vqacl_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from vqacl_tpu.train.checkpoint import (AsyncCheckpointer,
+                                        load_checkpoint, save_checkpoint)
 from vqacl_tpu.train.optim import make_transform
 from vqacl_tpu.train.state import TrainState
 from vqacl_tpu.train.step import make_eval_step, make_train_step
@@ -133,6 +134,10 @@ class VQACLTrainer:
         self.buffer = ExemplarBuffer(cfg.train.m_size, splits=self.splits)
         self.result_matrix = ResultMatrix(self.tasks)
         self.py_rng = make_rng(cfg.train.seed)
+        # task-boundary saves go through a background writer: the
+        # npz write overlaps the (much longer) per-task test matrix.
+        # Emergency saves stay synchronous (nothing to overlap with).
+        self._ckpt_writer = AsyncCheckpointer()
         self.task_total_num: Dict[int, int] = {}
         self.metrics_log: List[Dict] = []
         self.test_loader_dict_all: Dict[str, BatchLoader] = {}
@@ -217,6 +222,10 @@ class VQACLTrainer:
                 # failure recovery beyond the reference (SURVEY §5: it has
                 # none): preserve state so --checkpoint <prev task> plus
                 # this emergency file lose at most the current task
+                try:
+                    self._ckpt_writer.wait()
+                except BaseException as werr:
+                    self._log(f"!! pending checkpoint write failed: {werr}")
                 save_checkpoint(
                     os.path.join(self.cfg.output, f"{task}_EMERGENCY"),
                     jax.device_get(self.state.params),
@@ -224,7 +233,7 @@ class VQACLTrainer:
                 self._log(f"!! saved {task}_EMERGENCY before re-raising")
                 raise
 
-            save_checkpoint(
+            self._ckpt_writer.save(
                 os.path.join(self.cfg.output, f"{task}_LAST"),
                 jax.device_get(self.state.params),
                 jax.device_get(self.state.proto), int(self.state.step))
@@ -234,6 +243,10 @@ class VQACLTrainer:
             # one process)
             from vqacl_tpu.parallel.multihost import barrier
             barrier(f"task_{task}")
+
+        # drain the last background checkpoint write (and surface any
+        # writer error) before declaring the run complete
+        self._ckpt_writer.wait()
 
         # prototype export for reference parity (vqacl.py:420-426)
         os.makedirs(self.cfg.output, exist_ok=True)

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas fused encoder attention (auto: on for "
                         "single-device TPU runs)")
     p.add_argument("--clip_grad_norm", type=float, default=5.0)
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="force the JAX backend (cpu = hermetic run on the host; note the env var JAX_PLATFORMS is ignored by some TPU plugins, this flag uses jax.config)")
     p.add_argument("--gradient_accumulation_steps", "--grad_accum",
                    dest="grad_accum", type=int, default=1,
                    help="microbatches per optimizer step (reference flag, param.py:108; here it actually accumulates)")

@@ -24,6 +24,9 @@ from vqacl_tpu.parallel import make_mesh
 def main(argv=None) -> None:
     cfg = parse_config(argv)
     cli = cfg._cli
+    if getattr(cli, "platform", "auto") != "auto":
+        import jax
+        jax.config.update("jax_platforms", cli.platform)
     # NExT-QA geometry (nextqa_data.py:172-207) + linear LR schedule
     # (nextqa/trainer_base.py:207)
     cfg.model.max_text_length = TEXT_LEN

@@ -26,6 +26,9 @@ from vqacl_tpu.parallel import make_mesh
 def main(argv=None) -> None:
     cfg = parse_config(argv)
     cli = cfg._cli
+    if getattr(cli, "platform", "auto") != "auto":
+        import jax
+        jax.config.update("jax_platforms", cli.platform)
     tok = VLT5Tokenizer(vocab_file=cli.tokenizer)
     data = VQADataModule(cfg.data.dataset_root, tok,
                          train_split=cfg.data.train_split,

@@ -42,17 +42,78 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     return tree
 
 
-def save_checkpoint(path: str, params: Any, proto: ProtoState,
-                    step: int = 0, extra: Dict[str, np.ndarray] | None = None
-                    ) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+def _build_flat(params: Any, proto: ProtoState, step: int,
+                extra: Dict[str, np.ndarray] | None) -> Dict[str, np.ndarray]:
     flat = _flatten({"params": params})
     for value, name in zip(proto, proto._fields):
         flat[f"proto{SEP}{name}"] = np.asarray(value)
     flat["meta::step"] = np.asarray(step)
     for k, v in (extra or {}).items():
         flat[f"extra{SEP}{k}"] = np.asarray(v)
-    np.savez(path, **flat)
+    return flat
+
+
+def _atomic_savez(path: str, flat: Dict[str, np.ndarray]) -> None:
+    """Write ``<path>.npz`` via a temp file + ``os.replace`` so a crash
+    mid-write never leaves a truncated archive where a good checkpoint
+    (or none) used to be."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
+def save_checkpoint(path: str, params: Any, proto: ProtoState,
+                    step: int = 0, extra: Dict[str, np.ndarray] | None = None
+                    ) -> None:
+    _atomic_savez(path, _build_flat(params, proto, step, extra))
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer: overlap serialization + disk IO
+    with whatever the trainer does next (here: the per-task test
+    matrix, which takes far longer than the write).
+
+    ``save()`` snapshots the arrays synchronously (callers pass
+    host-side arrays, e.g. ``jax.device_get`` results — REQUIRED when
+    the train step donates its inputs: a device array captured lazily
+    could be invalidated by the next step), then hands the flat dict to
+    a writer thread that performs the same atomic tmp+replace write as
+    :func:`save_checkpoint`. One write in flight at a time; ``wait()``
+    joins it and re-raises any writer exception. The reference saves
+    synchronously on the main thread (``vqacl.py:415-418``)."""
+
+    def __init__(self) -> None:
+        self._thread = None
+        self._err: BaseException | None = None
+
+    def save(self, path: str, params: Any, proto: ProtoState,
+             step: int = 0,
+             extra: Dict[str, np.ndarray] | None = None) -> None:
+        self.wait()
+        flat = _build_flat(params, proto, step, extra)
+
+        def _write() -> None:
+            try:
+                _atomic_savez(path, flat)
+            except BaseException as e:     # surfaced by the next wait()
+                self._err = e
+
+        import threading
+        self._thread = threading.Thread(target=_write, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def load_checkpoint(path: str) -> Tuple[Any, ProtoState, int]:
