@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from vqacl_tpu.data.device_cache import DeviceFeatureCache, \
-    make_cached_train_step
+    make_cached_eval_step, make_cached_train_step
 from vqacl_tpu.data.features import MemoryFeatureStore
 from vqacl_tpu.parallel import make_mesh, replicate, shard_batch
 
@@ -124,3 +124,79 @@ def test_trainer_with_device_cache(tmp_path):
     assert tr._cache is not None
     acc_host, _ = run(False)
     assert abs(acc_cache - acc_host) < 1e-6
+
+
+def test_int8_cache_dequant_error_bound(rng):
+    """int8 table: dequantized features within s/2 of the originals
+    (s = per-(image,box) rowmax/127), half the bytes, pad slots zero."""
+    feats, boxes = make_table(rng)
+    cache = DeviceFeatureCache(feats, boxes, feat_dtype=jnp.int8)
+    assert cache.feats.dtype == jnp.int8 and cache.scales is not None
+    slots = jnp.asarray([0, 7, 19, -1], jnp.int32)
+    f, b = cache.lookup(slots)
+    for row, src in zip((0, 1, 2), (0, 7, 19)):
+        atol = np.abs(feats[src]).max(axis=-1, keepdims=True) / 127.0 / 2 \
+            + 1e-7
+        assert (np.abs(np.asarray(f[row]) - feats[src]) <= atol).all()
+    assert float(jnp.abs(f[3]).sum()) == 0.0
+    np.testing.assert_allclose(np.asarray(b[1]), boxes[7], rtol=1e-6)
+
+
+def test_int8_cache_from_store_and_sharded(rng):
+    """from_store int8 fill == direct quantization; dp-row-sharded int8
+    table (scales sharded alongside) gathers correctly."""
+    store = MemoryFeatureStore()
+    for i in range(5):
+        store.put(f"img{i}", rng.normal(size=(4, 16)).astype(np.float32),
+                  rng.uniform(0, 1, (4, 4)).astype(np.float32))
+    ids = [f"img{i}" for i in range(5)]
+    cache, slot_of = DeviceFeatureCache.from_store(store, ids,
+                                                   feat_dtype=jnp.int8)
+    feats = np.stack([store.get(i)[0] for i in ids])
+    direct = DeviceFeatureCache(feats,
+                                np.stack([store.get(i)[1] for i in ids]),
+                                feat_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(cache.feats),
+                                  np.asarray(direct.feats))
+    np.testing.assert_allclose(np.asarray(cache.scales),
+                               np.asarray(direct.scales), rtol=1e-7)
+
+    ctx = make_mesh(dp=8, tp=1)
+    feats21, boxes21 = make_table(rng, n=21)
+    sharded = DeviceFeatureCache(feats21, boxes21, mesh_ctx=ctx,
+                                 shard=True, feat_dtype=jnp.int8)
+    f, _ = sharded.lookup(jnp.asarray([20, 3], jnp.int32))
+    atol = np.abs(feats21[20]).max(axis=-1, keepdims=True) / 253.0 + 1e-7
+    assert (np.abs(np.asarray(f[0]) - feats21[20]) <= atol).all()
+
+
+def test_int8_cached_eval_runs(rng):
+    """make_cached_eval_step over an int8 table decodes finite tokens
+    of the right shape (answers may differ from f32 by design)."""
+    from vqacl_tpu.data.synthetic import SyntheticVQA
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+    from vqacl_tpu.utils.config import Config, tiny_model_config
+
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    m = cfg.model
+    feats = rng.normal(size=(6, m.n_boxes, m.feat_dim)).astype(np.float32)
+    boxes = rng.uniform(0, 1, (6, m.n_boxes, 4)).astype(np.float32)
+    cache = DeviceFeatureCache(feats, boxes, feat_dtype=jnp.int8)
+    step = make_cached_eval_step(cfg, cache, dtype=jnp.float32)
+    params = init_vlt5_params(jax.random.PRNGKey(0), m)
+    proto = ProtoState.create(m.n_ques_types, m.n_categories, m.d_model)
+    pool = SyntheticVQA(4, seed=0, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                        text_len=m.max_text_length,
+                        vocab_size=m.vocab_size, answer_vocab=8)
+    from vqacl_tpu.data.collate import collate
+    b = collate(pool.examples, feat_dim=m.feat_dim, n_boxes=m.n_boxes,
+                max_text_length=m.max_text_length,
+                target_max_length=m.target_max_length)["tensors"]
+    b = {k: jnp.asarray(v) for k, v in b.items()
+         if k not in ("vis_feats", "boxes")}
+    b["slots"] = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    toks = np.asarray(step(params, proto, b))
+    assert toks.shape == (4, m.gen_max_length - 1)
+    assert (toks >= 0).all()

@@ -118,9 +118,15 @@ class VQACLTrainer:
             from vqacl_tpu.data.device_cache import (DeviceFeatureCache,
                                                      make_cached_eval_step)
             img_ids = sorted(data.cate_map.keys())
+            import jax.numpy as _jnp
+            _cdt = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32,
+                    "int8": _jnp.int8}[getattr(cfg.data,
+                                               "device_cache_dtype",
+                                               "bfloat16")]
             self._cache, self._slot_of = DeviceFeatureCache.from_store(
                 data.features, img_ids, mesh_ctx=self.ctx,
-                shard=getattr(cfg.data, "device_cache_sharded", False))
+                shard=getattr(cfg.data, "device_cache_sharded", False),
+                feat_dtype=_cdt)
             self._log(f"HBM feature cache: {self._cache.n} images "
                       f"({self._cache.feats.nbytes / 1e9:.2f} GB)")
             self.eval_step = make_cached_eval_step(cfg, self._cache,

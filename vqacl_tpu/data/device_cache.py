@@ -44,19 +44,51 @@ def _to_bf16_fast(x: np.ndarray) -> np.ndarray:
         ml_dtypes.bfloat16)
 
 
+def _quant_rows(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-(image,box)-row int8 quantization: q = round(x/s),
+    s = rowmax(|x|)/127. Returns (int8 values, f32 scales [..., boxes]).
+    Max dequant error = s/2 ≈ 0.4 % of the row's peak activation."""
+    x = np.asarray(x, np.float32)
+    scale = np.abs(x).max(axis=-1) / 127.0
+    scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+    q = np.clip(np.rint(x / scale[..., None]), -127, 127).astype(np.int8)
+    return q, scale
+
+
 class DeviceFeatureCache:
     """feats [N, n_boxes, feat_dim] + boxes [N, n_boxes, 4] on device.
 
     ``lookup(slots)`` is jit-traceable; slot -1 (or any OOB) returns
     zeros via clipping + masking, matching the host collator's padding
     semantics.
+
+    ``feat_dtype=jnp.int8`` stores the table symmetrically quantized
+    per (image, box) row — HALF the HBM of bf16 (VQA v2 train2014:
+    ~6 GB vs ~12 GB), dequantized inside the compiled step's gather at
+    ≤0.4 %-of-row-peak error. Opt-in (``--device_cache_dtype int8``):
+    bf16 is bit-exact vs the host pipeline, int8 is not.
     """
 
     def __init__(self, feats: np.ndarray, boxes: np.ndarray,
                  mesh_ctx=None, shard: bool = False,
-                 feat_dtype=jnp.bfloat16):
+                 feat_dtype=jnp.bfloat16,
+                 scales: Optional[np.ndarray] = None):
         n = feats.shape[0]
         self.n = n
+        quantize = np.dtype(feat_dtype) == np.dtype(np.int8)
+        if quantize and np.asarray(feats).dtype == np.int8:
+            assert scales is not None, "pre-quantized feats need scales"
+        if quantize and np.asarray(feats).dtype != np.int8:
+            # chunked so the f32 temporaries stay small on the
+            # slow-demand-paging host (see _to_bf16_fast note below)
+            src = np.asarray(feats)
+            q = np.empty(src.shape, np.int8)
+            scales = np.empty(src.shape[:-1], np.float32)
+            step = 1024
+            for s in range(0, n, step):
+                q[s:s + step], scales[s:s + step] = _quant_rows(
+                    src[s:s + step])
+            feats = q
         if shard:
             assert mesh_ctx is not None, "sharded cache needs a mesh"
             dp = mesh_ctx.dp
@@ -68,6 +100,10 @@ class DeviceFeatureCache:
                 boxes = np.concatenate(
                     [boxes, np.zeros((pad,) + boxes.shape[1:],
                                      boxes.dtype)], axis=0)
+                if scales is not None:
+                    scales = np.concatenate(
+                        [scales, np.ones((pad,) + scales.shape[1:],
+                                         np.float32)], axis=0)
             sharding = NamedSharding(mesh_ctx.mesh, P("dp"))
         elif mesh_ctx is not None:
             sharding = mesh_ctx.replicated()
@@ -83,28 +119,26 @@ class DeviceFeatureCache:
         if np.dtype(feat_dtype) == np.dtype(jnp.bfloat16) and \
                 f_np.dtype == np.float32:
             f_np = _to_bf16_fast(f_np)
-        else:
+        elif not quantize:
             f_np = f_np.astype(np.dtype(feat_dtype), copy=False)
         b_np = np.asarray(boxes).astype(np.float32, copy=False)
-        if sharding is not None:
-            f = jax.device_put(f_np, sharding)
-            b = jax.device_put(b_np, sharding)
-        else:
-            f = jax.device_put(f_np)
-            b = jax.device_put(b_np)
-        self.feats = f
-        self.boxes = b
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+            else jax.device_put
+        self.feats = put(f_np)
+        self.boxes = put(b_np)
+        self.scales = put(scales) if scales is not None else None
 
     def lookup(self, slots: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """slots [B] int32 → (feats [B, n_boxes, feat_dim] f32-castable,
         boxes [B, n_boxes, 4]). Call INSIDE jit."""
         valid = (slots >= 0) & (slots < self.n)
         idx = jnp.clip(slots, 0, self.feats.shape[0] - 1)
-        f = jnp.take(self.feats, idx, axis=0)
+        f = jnp.take(self.feats, idx, axis=0).astype(jnp.float32)
+        if self.scales is not None:        # int8 table: dequantize
+            f = f * jnp.take(self.scales, idx, axis=0)[..., None]
         b = jnp.take(self.boxes, idx, axis=0)
         mask = valid[:, None, None]
-        return (jnp.where(mask, f, 0).astype(jnp.float32),
-                jnp.where(mask, b, 0))
+        return jnp.where(mask, f, 0), jnp.where(mask, b, 0)
 
     @classmethod
     def from_store(cls, store, img_ids: Sequence[str], mesh_ctx=None,
@@ -123,20 +157,26 @@ class DeviceFeatureCache:
         f0, b0 = store.get(ids[0])
         dt = np.dtype(feat_dtype)
         to_bf16 = dt == np.dtype(jnp.bfloat16)
+        to_int8 = dt == np.dtype(np.int8)
         feats = np.empty((n,) + np.shape(f0), dt)
         boxes = np.empty((n,) + np.shape(b0), np.float32)
+        scales = (np.empty((n,) + np.shape(f0)[:-1], np.float32)
+                  if to_int8 else None)
         slot_of = {}
         for i, img in enumerate(ids):
             f, b = store.get(img)
             f = np.asarray(f)
             if to_bf16 and f.dtype == np.float32:
                 feats[i] = _to_bf16_fast(f)
+            elif to_int8:
+                feats[i], scales[i] = _quant_rows(f)
             else:
                 feats[i] = f
             boxes[i] = b
             slot_of[img] = i
         return cls(feats, boxes, mesh_ctx=mesh_ctx,
-                   shard=shard, feat_dtype=feat_dtype), slot_of
+                   shard=shard, feat_dtype=feat_dtype,
+                   scales=scales), slot_of
 
 
 def make_cached_train_step(cfg, tx, cache: DeviceFeatureCache,
@@ -190,16 +230,18 @@ def _lookup_jit(cache: DeviceFeatureCache, slots):
     fn = getattr(cache, "_lookup_fn", None)
     if fn is None:
         n = cache.n
+        quantized = cache.scales is not None
 
-        def impl(feats, boxes, s):
+        def impl(feats, boxes, scales, s):
             valid = (s >= 0) & (s < n)
             idx = jnp.clip(s, 0, feats.shape[0] - 1)
-            f = jnp.take(feats, idx, axis=0)
+            f = jnp.take(feats, idx, axis=0).astype(jnp.float32)
+            if quantized:
+                f = f * jnp.take(scales, idx, axis=0)[..., None]
             b = jnp.take(boxes, idx, axis=0)
             mask = valid[:, None, None]
-            return (jnp.where(mask, f, 0).astype(jnp.float32),
-                    jnp.where(mask, b, 0))
+            return jnp.where(mask, f, 0), jnp.where(mask, b, 0)
 
         fn = jax.jit(impl)
         cache._lookup_fn = fn
-    return fn(cache.feats, cache.boxes, slots)
+    return fn(cache.feats, cache.boxes, cache.scales, slots)

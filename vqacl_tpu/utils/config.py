@@ -179,6 +179,7 @@ class DataConfig:
     # 147 KB/image, optionally dp-sharded across the mesh).
     device_cache: bool = False
     device_cache_sharded: bool = False
+    device_cache_dtype: str = "bfloat16"   # bfloat16|float32|int8
 
 
 @dataclass
