@@ -363,6 +363,64 @@ def encoder_block_fused(p: Params, cfg, x: jnp.ndarray,
     return x + dropout(r[2], m, cfg.dropout_rate, deterministic)
 
 
+def encoder_block_tp(p: Params, cfg, x: jnp.ndarray,
+                     bias_local: Optional[jnp.ndarray], tp_axis: str,
+                     deterministic: bool = True, rng=None,
+                     mask_add: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``encoder_block`` with Megatron tensor parallelism for use INSIDE
+    ``shard_map`` (parallel/pipeline.py tp×pp composition): ``p`` leaves
+    are this shard's slices (wq/wk/wv/wi output-dim-sharded, wo
+    input-dim-sharded over ``tp_axis``), ``bias_local`` carries only the
+    local heads, and the attention/MLP outputs are psum'd before each
+    residual add — so ``x`` stays replicated across the tp group.
+    Dropout keys are shared across the group: the post-psum (residual)
+    masks MUST agree; the pre-psum masks (attention weights, MLP hidden)
+    then repeat the same pattern per shard — statistically equivalent to
+    per-tensor dropout up to that correlation (deterministic mode is
+    bit-meaningful, and is what the parity tests pin)."""
+    r = _split_rngs(rng, 4)
+    nh_loc = p["attn"]["wq"].shape[1] // cfg.d_kv
+    h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
+    a = multihead_attention(p["attn"], h, h, h, bias_local, nh_loc,
+                            cfg.d_kv, cfg.dropout_rate, deterministic,
+                            r[0], mask_add=mask_add)
+    a = jax.lax.psum(a, tp_axis)
+    x = x + dropout(r[1], a, cfg.dropout_rate, deterministic)
+    h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
+    m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,
+                  deterministic, r[2])
+    m = jax.lax.psum(m, tp_axis)
+    return x + dropout(r[3], m, cfg.dropout_rate, deterministic)
+
+
+def decoder_block_tp(p: Params, cfg, x: jnp.ndarray,
+                     self_bias_local: Optional[jnp.ndarray],
+                     enc_states: jnp.ndarray,
+                     cross_bias: Optional[jnp.ndarray], tp_axis: str,
+                     deterministic: bool = True, rng=None) -> jnp.ndarray:
+    """``decoder_block`` under Megatron tp (see ``encoder_block_tp``);
+    ``cross_bias`` broadcasts over heads ([B,1,1,S]) so only the self
+    bias needs the local-head slice."""
+    r = _split_rngs(rng, 6)
+    nh_loc = p["attn"]["wq"].shape[1] // cfg.d_kv
+    h = layer_norm(p["ln1"], x, cfg.layer_norm_epsilon)
+    a = multihead_attention(p["attn"], h, h, h, self_bias_local, nh_loc,
+                            cfg.d_kv, cfg.dropout_rate, deterministic, r[0])
+    x = x + dropout(r[1], jax.lax.psum(a, tp_axis),
+                    cfg.dropout_rate, deterministic)
+    h = layer_norm(p["ln2"], x, cfg.layer_norm_epsilon)
+    c = multihead_attention(p["cross_attn"], h, enc_states, enc_states,
+                            cross_bias, nh_loc, cfg.d_kv,
+                            cfg.dropout_rate, deterministic, r[2])
+    x = x + dropout(r[3], jax.lax.psum(c, tp_axis),
+                    cfg.dropout_rate, deterministic)
+    h = layer_norm(p["ln3"], x, cfg.layer_norm_epsilon)
+    m = mlp_apply(p["mlp"], h, cfg.feed_forward_proj, cfg.dropout_rate,
+                  deterministic, r[4])
+    return x + dropout(r[5], jax.lax.psum(m, tp_axis),
+                       cfg.dropout_rate, deterministic)
+
+
 def encoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
                   position_bias: jnp.ndarray,
                   deterministic: bool = True, rng=None,

@@ -14,6 +14,8 @@ Axes:
   ``pp``   — pipeline parallel (transformer blocks sharded stage-wise,
              GPipe microbatching via ppermute — parallel/pipeline.py);
              off by default (pp=1), axis only present when requested.
+             Composes with ``tp``: a dp×tp×pp mesh runs Megatron
+             tensor-parallel blocks inside each pipeline stage.
 """
 
 from __future__ import annotations

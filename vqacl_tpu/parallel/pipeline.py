@@ -59,13 +59,38 @@ def _batch_spec(mesh: Mesh, dp_axis: str) -> P:
     return P()
 
 
+def stacked_block_specs(stacked: Params, pp_axis: str,
+                        tp_axis: Optional[str] = None) -> Any:
+    """PartitionSpecs for a ``stack_blocks`` pytree: every leaf shards
+    its leading layer axis over ``pp``; with ``tp_axis``, attention and
+    MLP weights additionally get the Megatron layout (q/k/v and wi
+    output-dim-sharded, the two wo input-dim-sharded) so each pipeline
+    stage runs ``tp``-way tensor parallel (t5.encoder_block_tp)."""
+    def spec(path, leaf) -> P:
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if tp_axis is None or leaf.ndim < 3:
+            return P(pp_axis)
+        parent, name = names[-2] if len(names) > 1 else "", names[-1]
+        if parent in ("attn", "cross_attn") and name in ("wq", "wk", "wv"):
+            return P(pp_axis, None, tp_axis)
+        if parent in ("attn", "cross_attn") and name == "wo":
+            return P(pp_axis, tp_axis, None)
+        if parent == "mlp" and name == "wi":
+            return P(pp_axis, None, tp_axis)
+        if parent == "mlp" and name == "wo":
+            return P(pp_axis, tp_axis, None)
+        return P(pp_axis)
+    return jax.tree_util.tree_map_with_path(spec, stacked)
+
+
 def gpipe(mesh: Mesh,
           stage_fn: Callable,
           stacked_params: Params,
           acts_mb: Any,
           aux: Tuple = (),
           pp_axis: str = "pp",
-          dp_axis: str = "dp") -> Any:
+          dp_axis: str = "dp",
+          param_specs: Any = None) -> Any:
     """Run ``acts_mb`` (pytree, leaves [M, mb, ...]) through ``pp``
     pipeline stages of ``stage_fn(stage_params, act, mb_idx, stage_idx,
     *aux) -> act``.
@@ -127,7 +152,8 @@ def gpipe(mesh: Mesh,
 
     return jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(pp_axis), bspec) + (P(),) * len(aux),
+        in_specs=(param_specs if param_specs is not None else P(pp_axis),
+                  bspec) + (P(),) * len(aux),
         out_specs=bspec, check_vma=False,
     )(stacked_params, acts_mb, *aux)
 
@@ -137,19 +163,27 @@ def encoder_stack_pp(p: Params, cfg, inputs_embeds: jnp.ndarray,
                      mask_add: jnp.ndarray,
                      mesh: Mesh, n_micro: int,
                      deterministic: bool = True, rng=None,
-                     pp_axis: str = "pp", dp_axis: str = "dp") -> jnp.ndarray:
+                     pp_axis: str = "pp", dp_axis: str = "dp",
+                     tp_axis: str = "tp") -> jnp.ndarray:
     """``t5.encoder_stack`` (unfused path) pipelined over ``pp``.
 
     Semantics match the sequential stack exactly in deterministic mode;
     with dropout the per-layer streams are folded as (layer, microbatch)
     so they differ from (but are as independent as) the dp path's.
+    When the mesh carries a ``tp`` axis of size > 1, each stage runs
+    Megatron tensor parallel over it (``t5.encoder_block_tp``: q/k/v/wi
+    output-sharded, wo input-sharded, psum before each residual) — full
+    dp×tp×pp composition in one shard_map program.
     """
     from vqacl_tpu.models import t5 as t5m
 
     n = cfg.num_layers
     pp = mesh.shape[pp_axis]
+    tp = dict(mesh.shape).get(tp_axis, 1)
     assert n % pp == 0, (n, pp)
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
     k = n // pp
+    nh_loc = cfg.num_heads // tp
     B, S, D = inputs_embeds.shape
     assert B % n_micro == 0, (B, n_micro)
     mb = B // n_micro
@@ -167,18 +201,30 @@ def encoder_stack_pp(p: Params, cfg, inputs_embeds: jnp.ndarray,
     aux = (position_bias,) if r_layers is None else (position_bias, r_layers)
 
     def stage(sp, act, mb_idx, s, pos_bias, *maybe_rng):
+        if tp > 1:   # local head panel of the [1,H,S,S] bias
+            t_idx = jax.lax.axis_index(tp_axis)
+            pos_bias = jax.lax.dynamic_slice_in_dim(
+                pos_bias, t_idx * nh_loc, nh_loc, axis=1)
+
         def body(x, xs):
             lp, li = xs
             r = None
             if maybe_rng:
                 r = jax.random.fold_in(
                     jax.random.fold_in(maybe_rng[0], li), mb_idx)
+            if tp > 1:
+                return t5m.encoder_block_tp(lp, cfg, x, pos_bias, tp_axis,
+                                            deterministic, r,
+                                            act["mask"]), None
             return t5m.encoder_block(lp, cfg, x, pos_bias, deterministic,
                                      r, act["mask"]), None
         x2, _ = jax.lax.scan(body, act["x"], (sp, s * k + jnp.arange(k)))
         return {"x": x2, "mask": act["mask"]}
 
-    out = gpipe(mesh, stage, stacked, acts, aux, pp_axis, dp_axis)
+    specs = stacked_block_specs(stacked, pp_axis,
+                                tp_axis if tp > 1 else None)
+    out = gpipe(mesh, stage, stacked, acts, aux, pp_axis, dp_axis,
+                param_specs=specs)
     x = out["x"].reshape(B, S, D)
     x = t5m.layer_norm(p["final_ln"], x, cfg.layer_norm_epsilon)
     return t5m.dropout(r_out, x, cfg.dropout_rate, deterministic)
@@ -188,15 +234,21 @@ def decoder_stack_pp(p: Params, cfg, inputs_embeds: jnp.ndarray,
                      enc_states: jnp.ndarray, enc_mask: jnp.ndarray,
                      mesh: Mesh, n_micro: int,
                      deterministic: bool = True, rng=None,
-                     pp_axis: str = "pp", dp_axis: str = "dp") -> jnp.ndarray:
+                     pp_axis: str = "pp", dp_axis: str = "dp",
+                     tp_axis: str = "tp") -> jnp.ndarray:
     """``t5.decoder_stack`` pipelined over ``pp`` (train path semantics:
     no decoder padding mask). The encoder states and cross-attention
-    bias ride along with each microbatch through the stage hand-offs."""
+    bias ride along with each microbatch through the stage hand-offs.
+    A ``tp`` mesh axis > 1 runs each stage Megatron tensor parallel
+    (``t5.decoder_block_tp``), like the encoder."""
     from vqacl_tpu.models import t5 as t5m
 
     n = cfg.num_decoder_layers
     pp = mesh.shape[pp_axis]
+    tp = dict(mesh.shape).get(tp_axis, 1)
     assert n % pp == 0, (n, pp)
+    assert cfg.num_heads % tp == 0, (cfg.num_heads, tp)
+    nh_loc = cfg.num_heads // tp
     k = n // pp
     B, T, D = inputs_embeds.shape
     S = enc_states.shape[1]
@@ -225,18 +277,30 @@ def decoder_stack_pp(p: Params, cfg, inputs_embeds: jnp.ndarray,
     aux = (self_bias,) if r_layers is None else (self_bias, r_layers)
 
     def stage(sp, act, mb_idx, s, self_bias, *maybe_rng):
+        if tp > 1:
+            t_idx = jax.lax.axis_index(tp_axis)
+            self_bias = jax.lax.dynamic_slice_in_dim(
+                self_bias, t_idx * nh_loc, nh_loc, axis=1)
+
         def body(x, xs):
             lp, li = xs
             r = None
             if maybe_rng:
                 r = jax.random.fold_in(
                     jax.random.fold_in(maybe_rng[0], li), mb_idx)
+            if tp > 1:
+                return t5m.decoder_block_tp(lp, cfg, x, self_bias,
+                                            act["enc"], act["cb"], tp_axis,
+                                            deterministic, r), None
             return t5m.decoder_block(lp, cfg, x, self_bias, act["enc"],
                                      act["cb"], deterministic, r), None
         x2, _ = jax.lax.scan(body, act["x"], (sp, s * k + jnp.arange(k)))
         return {"x": x2, "enc": act["enc"], "cb": act["cb"]}
 
-    out = gpipe(mesh, stage, stacked, acts, aux, pp_axis, dp_axis)
+    specs = stacked_block_specs(stacked, pp_axis,
+                                tp_axis if tp > 1 else None)
+    out = gpipe(mesh, stage, stacked, acts, aux, pp_axis, dp_axis,
+                param_specs=specs)
     x = out["x"].reshape(B, T, D)
     x = t5m.layer_norm(p["final_ln"], x, cfg.layer_norm_epsilon)
     return t5m.dropout(r_out, x, cfg.dropout_rate, deterministic)
