@@ -7,6 +7,21 @@ pipeline parallelism; parity target is our own sequential stacks."""
 import numpy as np
 import pytest
 
+import jax as _jax
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """XLA:CPU executables DESERIALIZED from the persistent compilation
+    cache can deadlock this module's multi-collective programs (GPipe
+    ppermute + tp psum + GSPMD all-to-all resharding): devices end up
+    waiting in different collectives and the 40 s rendezvous termination
+    timeout aborts the process (xla rendezvous.cc:127; reproduced 100%
+    with a warm cache, 0% without). Compile fresh for this module."""
+    _jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    _jax.config.update("jax_enable_compilation_cache", True)
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -58,7 +73,7 @@ def test_encoder_stack_pp_matches_sequential(rng):
                                np.asarray(seq(p)), rtol=2e-5, atol=2e-5)
 
     g_pp = jax.jit(jax.grad(lambda q: jnp.sum(jnp.sin(pp(q)))))(p)
-    g_seq = jax.grad(lambda q: jnp.sum(jnp.sin(seq(q))))(p)
+    g_seq = jax.jit(jax.grad(lambda q: jnp.sum(jnp.sin(seq(q)))))(p)
     _allclose_tree(g_pp, g_seq, 2e-4, 2e-4, "enc grad ")
 
 
@@ -83,7 +98,7 @@ def test_decoder_stack_pp_matches_sequential(rng):
                                np.asarray(seq(p)), rtol=2e-5, atol=2e-5)
 
     g_pp = jax.jit(jax.grad(lambda q: jnp.sum(jnp.cos(pp(q)))))(p)
-    g_seq = jax.grad(lambda q: jnp.sum(jnp.cos(seq(q))))(p)
+    g_seq = jax.jit(jax.grad(lambda q: jnp.sum(jnp.cos(seq(q)))))(p)
     _allclose_tree(g_pp, g_seq, 2e-4, 2e-4, "dec grad ")
 
 
@@ -224,7 +239,7 @@ def test_encoder_stack_tp_pp_matches_sequential(rng):
     np.testing.assert_allclose(np.asarray(jax.jit(pp)(p)),
                                np.asarray(seq(p)), rtol=2e-5, atol=2e-5)
     g_pp = jax.jit(jax.grad(lambda q: jnp.sum(jnp.sin(pp(q)))))(p)
-    g_seq = jax.grad(lambda q: jnp.sum(jnp.sin(seq(q))))(p)
+    g_seq = jax.jit(jax.grad(lambda q: jnp.sum(jnp.sin(seq(q)))))(p)
     _allclose_tree(g_pp, g_seq, 2e-4, 2e-4, "enc tp-pp grad ")
 
 
@@ -248,7 +263,7 @@ def test_decoder_stack_tp_pp_matches_sequential(rng):
     np.testing.assert_allclose(np.asarray(jax.jit(pp)(p)),
                                np.asarray(seq(p)), rtol=2e-5, atol=2e-5)
     g_pp = jax.jit(jax.grad(lambda q: jnp.sum(jnp.cos(pp(q)))))(p)
-    g_seq = jax.grad(lambda q: jnp.sum(jnp.cos(seq(q))))(p)
+    g_seq = jax.jit(jax.grad(lambda q: jnp.sum(jnp.cos(seq(q)))))(p)
     _allclose_tree(g_pp, g_seq, 2e-4, 2e-4, "dec tp-pp grad ")
 
 
