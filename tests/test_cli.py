@@ -63,3 +63,43 @@ def test_resolve_fused_attention_auto():
     m = ModelConfig()
     resolve_fused_attention(m, n_devices=8)   # multi-device → False
     assert m.fused_attention is False
+
+
+def test_sigterm_writes_emergency_checkpoint(tmp_path, vqa_root_full):
+    """SIGTERM mid-training (preemption/eviction) must exit non-zero
+    AFTER writing an *_EMERGENCY checkpoint (cli signal handler →
+    SystemExit → trainer's BaseException emergency-save path)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out = tmp_path / "snap"
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "vqacl_tpu.cli.vqacl_train",
+         "--platform", "cpu", "--dataset_root", vqa_root_full,
+         "--output", str(out), "--tiny_model", "--batch_size", "8",
+         "--valid_batch_size", "8", "--epochs", "50", "--m_size", "20",
+         "--lr", "1e-3", "--now_train"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        # wait until the first group is actually training
+        deadline = time.time() + 420
+        started = False
+        for line in proc.stdout:
+            if "-- group" in line:
+                started = True
+                break
+            if time.time() > deadline:
+                break
+        assert started, "training never started"
+        time.sleep(2)
+        proc.send_signal(signal.SIGTERM)
+        proc.stdout.read()        # drain to let it exit
+        rc = proc.wait(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert rc != 0
+    emergency = list(out.glob("*_EMERGENCY.npz"))
+    assert emergency, f"no emergency checkpoint in {list(out.iterdir())}"

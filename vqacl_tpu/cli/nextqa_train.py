@@ -24,6 +24,19 @@ from vqacl_tpu.parallel import make_mesh
 def main(argv=None) -> None:
     cfg = parse_config(argv)
     cli = cfg._cli
+    # preemption/termination safety: SIGTERM (k8s eviction, TPU-VM
+    # maintenance, timeout(1)) raises SystemExit in the main thread,
+    # which the CL trainer's BaseException handler turns into an
+    # emergency checkpoint before exiting (cl/trainer.py)
+    import signal
+
+    def _graceful_term(signum, frame):
+        raise SystemExit(143)
+
+    try:
+        signal.signal(signal.SIGTERM, _graceful_term)
+    except ValueError:        # not the main thread (library use)
+        pass
     if getattr(cli, "platform", "auto") != "auto":
         import jax
         jax.config.update("jax_platforms", cli.platform)
