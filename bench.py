@@ -44,7 +44,31 @@ A100_BASELINE_PAIRS_PER_SEC = 900.0       # generous best-case bound
 A100_BASELINE_FP32_TORCH16 = 160.0        # the repo's pinned stack
 
 
+def _watchdog(seconds: float = 1500.0):
+    """Fail fast with a diagnosis if the tunneled TPU is unreachable —
+    device init / first compile hangs indefinitely when the tunnel is
+    down (observed: a VM migration killed it for hours; even
+    jax.devices() blocks). A daemon timer hard-exits with a clear
+    message instead of letting the driver's timeout kill a silent
+    process. Disarmed once the first measured phase completes."""
+    import threading
+
+    def boom():
+        import os
+        import sys
+        print("bench: TPU unreachable (device init/compile exceeded "
+              f"{seconds:.0f}s — tunnel down?); no measurement taken",
+              file=sys.stderr, flush=True)
+        os._exit(7)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
+    wd = _watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -89,6 +113,7 @@ def main() -> None:
     # ---- train throughput ----
     state, mtr = train_step(state, batch)           # compile
     float(mtr["loss"])
+    wd.cancel()          # device reachable + first program ran
     # chunk size: each chunk-end scalar pull pays one FULL tunnel round
     # trip (~24 ms measured — see BENCH_NOTES "dispatch-chunk probe");
     # 30-step chunks amortize that to <1 ms/step while still forcing
