@@ -137,6 +137,11 @@ def test_http_roundtrip(predictor):
                 st = json.load(r)
                 assert st["requests"] >= 3 and st["batch_capacity"] == 4
 
+            with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+                text = r.read().decode()
+                assert "vqa_requests" in text and \
+                    "# TYPE vqa_requests counter" in text
+
             bad = urllib.request.Request(
                 base + "/v1/vqa",
                 data=json.dumps({"question": "x?",

@@ -13,6 +13,7 @@ Endpoints:
                    -> {"answers": [str, ...]}
   GET  /healthz    {"ok": true}
   GET  /stats      VQAServer.stats() (requests, batches, fill, latency)
+  GET  /metrics    same counters in Prometheus text exposition
 
 Usage:
   python -m vqacl_tpu.cli.serve_http --checkpoint snap/.../LAST \
@@ -52,6 +53,23 @@ def make_http_server(server: VQAServer, host: str = "127.0.0.1",
                 self._reply(200, {"ok": True})
             elif self.path == "/stats":
                 self._reply(200, server.stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same counters
+                st = server.stats()
+                lines = []
+                for k, v in st.items():
+                    if v is None:
+                        continue
+                    lines.append(f"# TYPE vqa_{k} "
+                                 f"{'counter' if k in ('requests', 'batches', 'errors') else 'gauge'}")
+                    lines.append(f"vqa_{k} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": f"no route {self.path}"})
 
