@@ -161,6 +161,60 @@ def test_merged_qkv_equals_separate():
         np.testing.assert_array_equal(t_off, t_on)
 
 
+def test_folded_cross_kv_equals_separate():
+    """folded_cross_kv (ALL decoder layers' cross K/V as one GEMM over
+    the layer-invariant encoder states) must be numerically equivalent
+    to per-layer projections: forward, gradients, and decode tokens."""
+    import copy
+
+    from vqacl_tpu.models import vlt5
+    from vqacl_tpu.models.generate import beam_search, greedy_decode
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+
+    cfg_off = tiny_model_config(vocab_size=96)
+    cfg_off.merged_qkv = False
+    cfg_off.folded_cross_kv = False
+    cfg_on = copy.deepcopy(cfg_off)
+    cfg_on.folded_cross_kv = True
+
+    params = init_vlt5_params(jax.random.PRNGKey(7), cfg_off)
+    rng = np.random.default_rng(8)
+    B, L, N, T = 3, cfg_off.max_text_length, cfg_off.n_boxes, 4
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(2, 96, size=(B, L))),
+        "vis_feats": jnp.asarray(
+            rng.normal(size=(B, N, cfg_off.feat_dim)).astype(np.float32)),
+        "boxes": jnp.asarray(
+            rng.uniform(0, 1, (B, N, 4)).astype(np.float32)),
+        "target_ids": jnp.asarray(rng.integers(2, 96, size=(B, T))),
+        "scores": jnp.asarray(rng.uniform(0.5, 1, B).astype(np.float32)),
+        "ques_labels": jnp.eye(10)[rng.integers(0, 10, B)],
+        "cate_labels": jnp.eye(80)[rng.integers(0, 80, B)],
+    }
+    proto = ProtoState.create(10, 80, cfg_off.d_model)
+
+    def loss(p, cfg):
+        out = vlt5.forward_train(p, cfg, batch, proto, 0.3, 0.3,
+                                 deterministic=True, dtype=jnp.float32)
+        return out.loss
+
+    (l0, g0), (l1, g1) = [jax.value_and_grad(loss)(params, c)
+                          for c in (cfg_off, cfg_on)]
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
+
+    enc0, m0 = vlt5.encode(params, cfg_off, batch["input_ids"],
+                           batch["vis_feats"], batch["boxes"],
+                           dtype=jnp.float32)
+    for fn in (greedy_decode,
+               lambda *a, **k: beam_search(*a, num_beams=3, **k)):
+        t_off = np.asarray(fn(params, cfg_off, enc0, m0, dtype=jnp.float32))
+        t_on = np.asarray(fn(params, cfg_on, enc0, m0, dtype=jnp.float32))
+        np.testing.assert_array_equal(t_off, t_on)
+
+
 def test_fused_head_loss_matches_reference_chain():
     """fused_head_loss (custom VJP) must equal lm_logits→weighted_lm_loss
     in value AND in gradients wrt decoder hidden + shared embedding."""

@@ -36,6 +36,9 @@ def _precompute_cross_kv(params: Params, cfg, enc_states: jnp.ndarray
                          ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Project encoder states through each decoder layer's cross-attention
     K/V once. enc_states [B,S,D] → per layer ([B,S,H,dk], [B,S,H,dk])."""
+    if getattr(cfg, "folded_cross_kv", False) is True:
+        return t5.cross_kv_fold_all(params["decoder"], cfg.num_decoder_layers,
+                                    enc_states, cfg.num_heads, cfg.d_kv)
     out = []
     dt = enc_states.dtype
     B, S, _ = enc_states.shape

@@ -24,7 +24,7 @@ table, ReLU feed-forward (t5-base v1.0), tied embeddings with the
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -208,6 +208,45 @@ def kv_proj_merged(p: Params, x: jnp.ndarray, num_heads: int, d_kv: int
     kv = x @ w
     return (kv[..., :inner].reshape(B, L, num_heads, d_kv),
             kv[..., inner:].reshape(B, L, num_heads, d_kv))
+
+
+def cross_kv_fold_all(p: Params, n_layers: int, x: jnp.ndarray,
+                      num_heads: int, d_kv: int
+                      ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """ALL decoder layers' cross-attention K/V projections as ONE GEMM.
+
+    Every layer's cross attention projects the SAME encoder states
+    (modeling_t5_our.py:641-655 — ``encoder_hidden_states`` is layer-
+    invariant), so the 2·n_layers [D,H·dk] projections concatenate into
+    a single [D, n·2·H·dk] weight: one GEMM with 24× the N dimension
+    instead of 24 geometry-bound N=768 GEMMs (and ONE dW / ONE dX GEMM
+    in the backward instead of 24/12). Param layout untouched — the
+    concat is an in-program copy XLA CSEs across fwd+bwd.
+
+    Measured at the reference geometry (t5-base, bs 80, S=58): a TRAIN
+    regression — 56.3 vs 46.2 ms/step (BENCH_NOTES round 3). The folded
+    [B, S, n·2·H·dk] activation (and its cotangent in the backward)
+    adds more HBM traffic than the small-GEMM overhead it removes.
+    Kept as an opt-in (``folded_cross_kv``) for geometries where the
+    decoder is deep relative to batch·S; default off.
+
+    ``p`` is the decoder stack params (holds ``block_i``). Returns the
+    per-layer (k, v) views, each [B, S, H, dk]."""
+    B, S, D = x.shape
+    dt = x.dtype
+    inner = num_heads * d_kv
+    w = jnp.concatenate(
+        [jnp.concatenate([p[f"block_{i}"]["cross_attn"]["wk"],
+                          p[f"block_{i}"]["cross_attn"]["wv"]], axis=1)
+         for i in range(n_layers)], axis=1).astype(dt)
+    kv = x @ w                                     # [B, S, n*2*inner]
+    out = []
+    for i in range(n_layers):
+        o = i * 2 * inner
+        out.append((kv[..., o:o + inner].reshape(B, S, num_heads, d_kv),
+                    kv[..., o + inner:o + 2 * inner].reshape(
+                        B, S, num_heads, d_kv)))
+    return out
 
 
 def multihead_attention(p: Params,
@@ -595,12 +634,18 @@ def decoder_stack(p: Params, cfg, inputs_embeds: jnp.ndarray,
     cross_mask = None if enc_mask is None else enc_mask[:, None, None, :]
     cross_bias = attention_scores_bias(cross_mask, None)
 
+    cross_kvs = None
+    if getattr(cfg, "folded_cross_kv", False) is True:
+        cross_kvs = cross_kv_fold_all(p, cfg.num_decoder_layers, enc_states,
+                                      cfg.num_heads, cfg.d_kv)
+
     r = _split_rngs(rng, cfg.num_decoder_layers + 2)
     x = dropout(r[0], inputs_embeds, cfg.dropout_rate, deterministic)
     block_fn = _maybe_checkpoint(decoder_block, (1, 6), remat)
     for i in range(cfg.num_decoder_layers):
         x = block_fn(p[f"block_{i}"], cfg, x, self_bias, enc_states,
-                     cross_bias, deterministic, r[i + 1])
+                     cross_bias, deterministic, r[i + 1], None,
+                     None if cross_kvs is None else cross_kvs[i])
     x = layer_norm(p["final_ln"], x, cfg.layer_norm_epsilon)
     return dropout(r[-1], x, cfg.dropout_rate, deterministic)
 

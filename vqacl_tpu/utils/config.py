@@ -83,6 +83,15 @@ class ModelConfig:
     # along the tp-sharded output dim would make GSPMD re-shard every
     # layer). Pure algebraic regrouping — no param-layout change.
     merged_qkv: object = "auto"
+    # fold ALL decoder layers' cross-attention K/V projections (layer-
+    # invariant input: the encoder states) into ONE [D, n·2·H·dk] GEMM
+    # (t5.cross_kv_fold_all). MEASURED REGRESSION at the reference
+    # geometry (BENCH_NOTES round 3: 56.3 vs 46.2 ms/step — the [B,S,
+    # n·2·H·dk] activation plus its backward cotangent outweigh the
+    # 24-small-GEMM overhead they replace, the qkv-merge decode lesson
+    # at train scale). Parity-tested and kept as an opt-in for models
+    # whose decoder is deep relative to batch·S.
+    folded_cross_kv: bool = False
 
     @property
     def encoder_len(self) -> int:
@@ -259,3 +268,5 @@ def resolve_fused_attention(model_cfg: ModelConfig,
         model_cfg.fused_mesh = mesh
     if getattr(model_cfg, "merged_qkv", "auto") == "auto":
         model_cfg.merged_qkv = bool(n_devices == 1)
+    if getattr(model_cfg, "folded_cross_kv", "auto") == "auto":
+        model_cfg.folded_cross_kv = False   # measured regression; opt-in
