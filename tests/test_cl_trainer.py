@@ -81,3 +81,49 @@ def test_eval_only_mode(run):
     trainer.result_matrix = ResultMatrix(trainer.tasks)
     metrics = trainer.Test()
     assert metrics["Avg_acc"] > 15
+
+
+def test_failed_background_ckpt_still_writes_emergency(tmp_path):
+    """A background {task}_LAST write failure from a PREVIOUS task is
+    surfaced by the next save() — that re-raise must still route through
+    the emergency path so the just-trained params reach
+    {task}_EMERGENCY (the 'lose at most the current task' guarantee)."""
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    cfg.model.vocab_size = 32200
+    cfg.train.batch_size = 16
+    cfg.train.valid_batch_size = 16
+    cfg.train.epochs = 1
+    cfg.output = str(tmp_path)
+
+    tok = VLT5Tokenizer()
+    tasks = ["q_recognition", "q_location"]
+    data = SyntheticDataModule(tok, tasks=tasks, n_train_per_task=32,
+                               n_val_per_task=16, n_test_per_task=16,
+                               feat_dim=cfg.model.feat_dim,
+                               n_boxes=cfg.model.n_boxes,
+                               answer_vocab=4, seed=0)
+    trainer = VQACLTrainer(cfg, data, tok, verbose=False,
+                           dtype=jnp.float32)
+
+    class PoisonedWriter:
+        """First save 'succeeds' in the background but its failure
+        surfaces at the second save's wait() — the AsyncCheckpointWriter
+        contract for a failed previous write."""
+        def __init__(self):
+            self.calls = 0
+
+        def save(self, *a, **kw):
+            self.calls += 1
+            if self.calls == 2:
+                raise IOError("simulated ENOSPC from previous write")
+
+        def wait(self):
+            pass
+
+    trainer._ckpt_writer = PoisonedWriter()
+    with pytest.raises(IOError):
+        trainer.train()
+    # the failure hit at task 2's save → its params must be in EMERGENCY
+    assert os.path.exists(
+        os.path.join(cfg.output, "q_location_EMERGENCY.npz"))

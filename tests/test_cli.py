@@ -82,15 +82,19 @@ def test_sigterm_writes_emergency_checkpoint(tmp_path, vqa_root_full):
          "--valid_batch_size", "8", "--epochs", "50", "--m_size", "20",
          "--lr", "1e-3", "--now_train"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    # whole-test watchdog: if the subprocess goes silent at any phase
+    # the blocking readline/read would hang the suite (no pytest-timeout
+    # configured) — killing the process EOFs the pipe and unblocks us.
+    import threading
+    killer = threading.Timer(700, proc.kill)
+    killer.daemon = True
+    killer.start()
     try:
         # wait until the first group is actually training
-        deadline = time.time() + 420
         started = False
         for line in proc.stdout:
             if "-- group" in line:
                 started = True
-                break
-            if time.time() > deadline:
                 break
         assert started, "training never started"
         time.sleep(2)
@@ -98,6 +102,7 @@ def test_sigterm_writes_emergency_checkpoint(tmp_path, vqa_root_full):
         proc.stdout.read()        # drain to let it exit
         rc = proc.wait(timeout=300)
     finally:
+        killer.cancel()
         if proc.poll() is None:
             proc.kill()
     assert rc != 0

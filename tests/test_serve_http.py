@@ -101,6 +101,28 @@ def test_closed_server_rejects(predictor):
         srv.submit("late?", "img0").result()
 
 
+def test_close_fails_requests_stranded_behind_sentinel(predictor):
+    """A request that races past the _closed check and lands in the
+    queue after the stop sentinel must still resolve (with an error) —
+    close() drains the queue and fails leftover futures instead of
+    leaving their callers blocked forever."""
+    import time
+    from concurrent.futures import Future
+
+    from vqacl_tpu.serve import VQAServer
+
+    srv = VQAServer(predictor, max_wait_ms=1.0)
+    srv.close()
+    # simulate the losing side of the race: enqueue directly, behind
+    # the sentinel the worker already consumed
+    fut: Future = Future()
+    ex = predictor._examples(["raced?"], ["img0"])[0]
+    srv._q.put((ex, fut, time.monotonic()))
+    srv.close()   # idempotent close drains and fails it
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=5)
+
+
 def test_http_roundtrip(predictor):
     from vqacl_tpu.cli.serve_http import (make_http_server,
                                           serve_forever_in_thread)

@@ -224,6 +224,13 @@ class VQACLTrainer:
             try:
                 self.train_task(task_idx,
                                 first_trained=(task_idx == start_idx))
+                # inside the recovery scope: save() re-raises a PREVIOUS
+                # task's failed background write, and the just-trained
+                # params must still reach {task}_EMERGENCY in that case
+                self._ckpt_writer.save(
+                    os.path.join(self.cfg.output, f"{task}_LAST"),
+                    jax.device_get(self.state.params),
+                    jax.device_get(self.state.proto), int(self.state.step))
             except BaseException:
                 # failure recovery beyond the reference (SURVEY §5: it has
                 # none): preserve state so --checkpoint <prev task> plus
@@ -239,10 +246,6 @@ class VQACLTrainer:
                 self._log(f"!! saved {task}_EMERGENCY before re-raising")
                 raise
 
-            self._ckpt_writer.save(
-                os.path.join(self.cfg.output, f"{task}_LAST"),
-                jax.device_get(self.state.params),
-                jax.device_get(self.state.proto), int(self.state.step))
             self.test(task)
             self._write_log()
             # task-boundary sync on multihost pods (SURVEY §5; no-op on

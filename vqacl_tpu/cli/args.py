@@ -56,6 +56,18 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "on", "off"],
                    help="Pallas fused encoder attention (auto: on for "
                         "single-device TPU runs)")
+    p.add_argument("--fused_decoder", action="store_true",
+                   help="Pallas kernels for the TRAIN decoder too "
+                        "(measured slower at the reference geometry — "
+                        "BENCH_NOTES; for larger decoders)")
+    p.add_argument("--folded_cross_kv", action="store_true",
+                   help="fold all decoder layers' cross K/V projections "
+                        "into one GEMM (measured slower at the reference "
+                        "geometry — BENCH_NOTES; for deep decoders)")
+    p.add_argument("--adam_impl", default="hf", choices=["hf", "torch"],
+                   help="AdamW direction: hf = reference's transformers "
+                        "4.2.1 AdamW (eps inside, correction in step "
+                        "size); torch = optax/torch m-hat/(sqrt(v-hat)+eps)")
     p.add_argument("--clip_grad_norm", type=float, default=5.0)
     p.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"],
@@ -109,6 +121,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def install_cli_runtime(cli) -> None:
+    """Shared CLI preamble for the training entry points.
+
+    - preemption/termination safety: SIGTERM (k8s eviction, TPU-VM
+      maintenance, timeout(1)) raises SystemExit in the main thread,
+      which the CL trainer's BaseException handler turns into an
+      emergency checkpoint before exiting (cl/trainer.py);
+    - ``--platform`` backend override BEFORE any jax device use (the
+      JAX_PLATFORMS env var is ignored by some TPU plugins; only
+      jax.config works).
+    """
+    import signal
+
+    def _graceful_term(signum, frame):
+        raise SystemExit(143)
+
+    try:
+        signal.signal(signal.SIGTERM, _graceful_term)
+    except ValueError:        # not the main thread (library use)
+        pass
+    if getattr(cli, "platform", "auto") != "auto":
+        import jax
+        jax.config.update("jax_platforms", cli.platform)
+
+
 def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     args = build_parser().parse_args(argv)
     cfg = Config()
@@ -131,6 +168,9 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     t.adam_dtype = args.adam_dtype
     cfg.model.fused_attention = {"auto": "auto", "on": True,
                                  "off": False}[args.fused_attention]
+    m.fused_decoder = args.fused_decoder
+    m.folded_cross_kv = args.folded_cross_kv
+    t.adam_impl = args.adam_impl
     t.clip_grad_norm = args.clip_grad_norm
     t.grad_accum = args.grad_accum
     t.batch_size = args.batch_size

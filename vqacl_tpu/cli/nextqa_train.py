@@ -13,7 +13,7 @@ import sys
 
 import jax.numpy as jnp
 
-from vqacl_tpu.cli.args import parse_config
+from vqacl_tpu.cli.args import install_cli_runtime, parse_config
 from vqacl_tpu.cl.trainer import VQACLTrainer
 from vqacl_tpu.data.tokenizer import VLT5Tokenizer
 from vqacl_tpu.nextqa.data import (ANS_LEN, N_CLIPS, TEXT_LEN,
@@ -24,22 +24,7 @@ from vqacl_tpu.parallel import make_mesh
 def main(argv=None) -> None:
     cfg = parse_config(argv)
     cli = cfg._cli
-    # preemption/termination safety: SIGTERM (k8s eviction, TPU-VM
-    # maintenance, timeout(1)) raises SystemExit in the main thread,
-    # which the CL trainer's BaseException handler turns into an
-    # emergency checkpoint before exiting (cl/trainer.py)
-    import signal
-
-    def _graceful_term(signum, frame):
-        raise SystemExit(143)
-
-    try:
-        signal.signal(signal.SIGTERM, _graceful_term)
-    except ValueError:        # not the main thread (library use)
-        pass
-    if getattr(cli, "platform", "auto") != "auto":
-        import jax
-        jax.config.update("jax_platforms", cli.platform)
+    install_cli_runtime(cli)
     # NExT-QA geometry (nextqa_data.py:172-207) + linear LR schedule
     # (nextqa/trainer_base.py:207)
     cfg.model.max_text_length = TEXT_LEN

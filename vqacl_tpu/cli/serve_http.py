@@ -130,7 +130,14 @@ def main(argv: Optional[list] = None) -> None:
     from vqacl_tpu.data.tokenizer import VLT5Tokenizer
     from vqacl_tpu.serve import VQAPredictor
 
-    store = H5FeatureStore({"coco": a.coco_h5}) if a.coco_h5 else None
+    if not a.coco_h5:
+        # without a feature source every request would 500 on the
+        # feature lookup — surface the misconfiguration at startup
+        p.error("--coco_h5 is required: this frontend serves h5-backed "
+                "features (the HBM-cache path is constructed "
+                "programmatically via serve.VQAPredictor(device_cache=, "
+                "slot_of=))")
+    store = H5FeatureStore({"coco": a.coco_h5})
     pred = VQAPredictor.from_checkpoint(a.checkpoint, VLT5Tokenizer(),
                                         store, batch_size=a.batch_size,
                                         num_beams=a.num_beams)

@@ -261,13 +261,12 @@ def multihead_attention(p: Params,
                         rng=None,
                         kv_proj: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                         mask_add: Optional[jnp.ndarray] = None,
-                        q_proj: Optional[jnp.ndarray] = None,
                         merged: bool = False,
                         ) -> jnp.ndarray:
     """Unscaled T5 attention. q_in [B,Lq,D]; k_in/v_in [B,Lk,D].
 
     ``kv_proj`` lets the caller pass already-projected K/V (cross-attention
-    cache during generation); ``q_proj`` an already-projected query.
+    cache during generation).
     ``mask_add`` is an optional second additive
     term (the padding mask, [B,1,1,Lk]) kept SEPARATE from ``bias`` so the
     combined [B,H,Lq,Lk] f32 tensor is never materialized in HBM — both
@@ -278,14 +277,11 @@ def multihead_attention(p: Params,
     """
     B, Lq, D = q_in.shape
     dt = q_in.dtype
-    if merged and kv_proj is None and q_proj is None and q_in is k_in:
+    if merged and kv_proj is None and q_in is k_in:
         q, k, v = qkv_proj_merged(p, q_in, num_heads, d_kv)
         Lk = k.shape[1]
     else:
-        if q_proj is not None:
-            q = q_proj
-        else:
-            q = (q_in @ p["wq"].astype(dt)).reshape(B, Lq, num_heads, d_kv)
+        q = (q_in @ p["wq"].astype(dt)).reshape(B, Lq, num_heads, d_kv)
         if kv_proj is None:
             Lk = k_in.shape[1]
             if merged and k_in is v_in:

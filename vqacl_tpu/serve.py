@@ -267,7 +267,10 @@ class VQAServer:
                     self._lat.pop(0)
                 self._lat.append(now - t0)
         for f, a in zip(futs, answers):
-            f.set_result(a)
+            try:
+                f.set_result(a)
+            except Exception:   # close() failed it first — drop the race
+                pass
 
     # -- lifecycle / telemetry ------------------------------------------
     def stats(self) -> Dict:
@@ -294,6 +297,23 @@ class VQAServer:
         if self._pipelined:
             self._fin_q.put(self._STOP)
             self._finisher.join(timeout=timeout)
+        # fail any request that slipped past the _closed check into the
+        # queue after the sentinel (or was left behind by a stuck
+        # worker) — its Future would otherwise never resolve and the
+        # caller's fut.result() would block forever
+        err = RuntimeError("VQAServer closed before this request was served")
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is self._STOP:
+                continue
+            _, fut, _ = item
+            try:
+                fut.set_exception(err)
+            except Exception:   # lost the race against a live worker
+                pass
 
     def __enter__(self) -> "VQAServer":
         return self

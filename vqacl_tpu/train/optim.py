@@ -104,7 +104,11 @@ def scale_by_adam_lowmem(b1: float, b2: float, eps: float,
     ``cfg.train.adam_dtype`` (default float32 = exact reference parity).
     """
     def init(params):
-        z = lambda p: jnp.zeros(p.shape, moment_dtype)
+        # zeros_like (not zeros(p.shape)): the moments must inherit
+        # the param's NamedSharding so tp/fsdp layouts don't allocate
+        # full-size unsharded state on device 0 at every per-group
+        # optimizer reset
+        z = lambda p: jnp.zeros_like(p, dtype=moment_dtype)
         return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
                                       mu=jax.tree.map(z, params),
                                       nu=jax.tree.map(z, params))
@@ -148,7 +152,11 @@ def scale_by_hf_adamw(b1: float, b2: float, eps: float,
     ``moment_dtype`` narrows HBM-resident moment storage (arithmetic
     stays f32), as in ``scale_by_adam_lowmem``."""
     def init(params):
-        z = lambda p: jnp.zeros(p.shape, moment_dtype)
+        # zeros_like (not zeros(p.shape)): the moments must inherit
+        # the param's NamedSharding so tp/fsdp layouts don't allocate
+        # full-size unsharded state on device 0 at every per-group
+        # optimizer reset
+        z = lambda p: jnp.zeros_like(p, dtype=moment_dtype)
         return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
                                       mu=jax.tree.map(z, params),
                                       nu=jax.tree.map(z, params))
