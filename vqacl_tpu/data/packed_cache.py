@@ -2,7 +2,7 @@
 
 The TPU-native counterpart of the reference's HDF5 feature files
 (SURVEY §2.3 "HDF5 (C) via h5py" row): a flat memory-mapped pack read
-by ``native/feature_cache.cpp`` with multi-threaded batch gathers and
+by ``vqacl_tpu/native/feature_cache.cpp`` with multi-threaded batch gathers and
 fused box normalization. h5 files convert once via ``pack_from_h5``;
 the loader then serves batches with zero python-side per-item work.
 
@@ -21,15 +21,33 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 MAGIC = 0x56514143_4C504B31
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
+# the C++ source ships inside the package (vqacl_tpu/native/) so pip
+# installs can build it on demand; VQACL_NATIVE_DIR overrides (e.g. a
+# pre-built tree on a shared filesystem)
+_NATIVE_DIR = (os.environ.get("VQACL_NATIVE_DIR")
+               or os.path.join(os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))), "native"))
 _LIB: Optional[ctypes.CDLL] = None
+
+
+def _build_dir(src: str) -> str:
+    """Prefer a build/ dir next to the source; fall back to a per-user
+    cache when the install site is read-only (system site-packages)."""
+    d = os.path.join(os.path.dirname(src), "build")
+    try:
+        os.makedirs(d, exist_ok=True)
+        if os.access(d, os.W_OK):
+            return d
+    except OSError:
+        pass
+    d = os.path.join(os.path.expanduser("~"), ".cache", "vqacl_tpu")
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def _build_lib() -> str:
     src = os.path.join(_NATIVE_DIR, "feature_cache.cpp")
-    out = os.path.join(_NATIVE_DIR, "build", "libvfcache.so")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out = os.path.join(_build_dir(src), "libvfcache.so")
     if (not os.path.exists(out)
             or os.path.getmtime(out) < os.path.getmtime(src)):
         subprocess.run(
