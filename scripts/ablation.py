@@ -1,0 +1,140 @@
+"""Synthetic Table-1 surrogate: Vanilla vs ER vs Ours on one task stream.
+
+The reference's headline benchmark is quality (paper Table 1 — SURVEY
+§6): sequential finetuning forgets, experience replay (ER) recovers
+most accuracy, and the prototype model ("Ours") beats ER on both final
+average accuracy (AP↑) and average forgetting (Forget↓). The real
+datasets don't exist in this environment, so this script reproduces the
+QUALITATIVE ordering end-to-end on synthetic data with real forgetting
+pressure: ``SyntheticDataModule(task_shift=1)`` maps the SAME visual
+category to a DIFFERENT answer under each task, so each task's training
+overwrites earlier mappings unless the learner retains them.
+
+All three rows run the REAL pipeline — dual-level CL loop, group
+loaders, exemplar buffer, compiled train/eval steps, official VQA
+accuracy — differing only in the reference's own switches
+(``--memory`` off / on / on+prototypes):
+
+  vanilla  memory=False  use_prototype=False   (Table 1 "Vanilla")
+  er       memory=True   use_prototype=False   (Table 1 "ER")
+  ours     memory=True   use_prototype=True    (Table 1 "Ours")
+
+Writes ABLATION.md at the repo root plus one JSON line per row.
+
+Usage: python scripts/ablation.py [--tasks 5] [--n_train 200]
+           [--epochs 2] [--m_size 100] [--seed 0] [--repeats 1]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+ROWS = [
+    ("vanilla", dict(memory=False, prototype=False)),
+    ("er", dict(memory=True, prototype=False)),
+    ("ours", dict(memory=True, prototype=True)),
+]
+
+
+def run_row(name: str, memory: bool, prototype: bool, a, seed: int):
+    import jax.numpy as jnp
+
+    from vqacl_tpu.cl.tasks import ALL_TASKS
+    from vqacl_tpu.cl.trainer import VQACLTrainer
+    from vqacl_tpu.data.synthetic_module import SyntheticDataModule
+    from vqacl_tpu.data.tokenizer import VLT5Tokenizer
+    from vqacl_tpu.utils.config import Config, tiny_model_config
+
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    cfg.model.vocab_size = 32200
+    cfg.model.use_prototype = prototype
+    cfg.train.memory = memory
+    cfg.train.m_size = a.m_size
+    cfg.train.lr = 1e-2
+    cfg.train.batch_size = 16
+    cfg.train.valid_batch_size = 16
+    cfg.train.epochs = a.epochs
+    cfg.train.seed = seed
+    cfg.output = os.path.join(a.out, name)
+
+    tok = VLT5Tokenizer()
+    data = SyntheticDataModule(
+        tok, tasks=ALL_TASKS[:a.tasks], n_train_per_task=a.n_train,
+        n_val_per_task=a.n_eval, n_test_per_task=a.n_eval,
+        feat_dim=cfg.model.feat_dim, n_boxes=cfg.model.n_boxes,
+        answer_vocab=a.answer_vocab, seed=seed, task_shift=1)
+    trainer = VQACLTrainer(cfg, data, tok, verbose=False,
+                           dtype=jnp.float32)
+    metrics = trainer.train()
+    return {"row": name, "memory": memory, "prototype": prototype,
+            "seed": seed, "Avg_acc": round(metrics["Avg_acc"], 2),
+            "Avg_forget": round(metrics["Avg_forget"], 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", type=int, default=5)
+    ap.add_argument("--n_train", type=int, default=200)
+    ap.add_argument("--n_eval", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--m_size", type=int, default=100)
+    ap.add_argument("--answer_vocab", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="seeds per row (mean reported)")
+    ap.add_argument("--out", default="/tmp/ablation")
+    ap.add_argument("--md", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ABLATION.md"))
+    a = ap.parse_args()
+
+    results = []
+    for name, sw in ROWS:
+        accs, fgts = [], []
+        for r in range(a.repeats):
+            res = run_row(name, sw["memory"], sw["prototype"], a,
+                          seed=a.seed + r)
+            print(json.dumps(res), flush=True)
+            accs.append(res["Avg_acc"])
+            fgts.append(res["Avg_forget"])
+        results.append((name, sw, sum(accs) / len(accs),
+                        sum(fgts) / len(fgts)))
+
+    lines = [
+        "# Synthetic Table-1 surrogate (qualitative ordering check)",
+        "",
+        "Real Table-1 data is unavailable in this environment; this runs",
+        "the FULL pipeline (dual-level CL loop, exemplar buffer, compiled",
+        "train/eval, official VQA accuracy) on synthetic data with",
+        "task-dependent answer mappings (`SyntheticDataModule(task_shift=1)`)",
+        "so sequential finetuning actually forgets. Expected qualitative",
+        "ordering from the paper: Ours ≥ ER > Vanilla on AP, and",
+        "Ours ≤ ER < Vanilla on Forgetting. Produced by",
+        "`python scripts/ablation.py`.",
+        "",
+        f"Config: {a.tasks} tasks x {a.n_train} train QA, epochs "
+        f"{a.epochs}, M={a.m_size}, tiny model, "
+        f"{a.repeats} seed(s), task_shift=1.",
+        "",
+        "| row | replay | prototypes | AP (Avg_acc) ↑ | Forget ↓ |",
+        "|---|---|---|---|---|",
+    ]
+    for name, sw, acc, fgt in results:
+        lines.append(f"| {name} | {'✓' if sw['memory'] else '—'} | "
+                     f"{'✓' if sw['prototype'] else '—'} | "
+                     f"{acc:.2f} | {fgt:.2f} |")
+    lines.append("")
+    with open(a.md, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {a.md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,10 +34,20 @@ class SyntheticDataModule:
                  n_test_per_task: int = 20, feat_dim: int = 2048,
                  n_boxes: int = 36, n_categories: int = 80,
                  answer_vocab: int = 8, seed: int = 0,
-                 n_images: Optional[int] = None):
+                 n_images: Optional[int] = None,
+                 task_shift: int = 0):
         """``n_images``: size of the shared image pool (None → one image
         per question). Real VQA v2 has ~7 questions/image; a bounded
-        pool keeps large-scale soaks within host/HBM budgets."""
+        pool keeps large-scale soaks within host/HBM budgets.
+
+        ``task_shift``: answer = ans[(c + t_idx·task_shift) % vocab] —
+        with a nonzero shift the SAME visual category maps to a
+        DIFFERENT answer under each task (question type), so training
+        task k overwrites earlier tasks' mappings unless the learner
+        retains them (replay / prototypes). This is the forgetting
+        pressure of the real VQACL protocol in miniature; the default 0
+        keeps the task-agnostic easy mapping for smoke tests. The task
+        identity is learnable from the question's leading words."""
         self.tok = tokenizer
         self.tasks = list(tasks)
         self.feat_dim = feat_dim
@@ -82,9 +92,9 @@ class SyntheticDataModule:
                         c = int(rng.integers(0, n_categories))
                         img_id = new_image(c)
                     # answer determined by the image category (appears in
-                    # both the features and the question text) so the
-                    # mapping is task-agnostic and learnably easy
-                    ans = f"ans{c % answer_vocab}"
+                    # both the features and the question text); with
+                    # task_shift != 0 the mapping is task-DEPENDENT
+                    ans = f"ans{(c + t_idx * task_shift) % answer_vocab}"
                     self.ques_map[str(qid)] = t_idx
                     items.append({
                         "img_id": img_id,
