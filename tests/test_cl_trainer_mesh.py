@@ -26,6 +26,23 @@ pytestmark = pytest.mark.skipif(jax.device_count() < 8,
                                 reason="needs the 8-device virtual mesh")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """Same quarantine as test_pipeline.py: XLA:CPU executables
+    DESERIALIZED from the persistent compilation cache mis-rendezvous
+    multi-collective programs. This module's tp train steps (per-layer
+    psums + dp grad psum) are exactly that shape — and the poison is
+    cross-test: with a warm ``.jax_cache_cpu`` these tests pass but a
+    LATER module's freshly-compiled collectives abort (reproduced 100%:
+    warm cache → test_pipeline's first tp×pp test dies in
+    rendezvous.cc; cold cache or this fixture → green). Compile fresh
+    here so no multi-collective executable in the process ever comes
+    from the disk cache."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
 def _cfg(out):
     cfg = Config()
     cfg.model = tiny_model_config()
