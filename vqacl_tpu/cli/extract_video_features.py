@@ -3,13 +3,15 @@
 Produces ``vid_feat/app_mot_{mode}.h5`` (the artifact the reference
 only consumes — nextqa/nextqa_data.py:127-133) from a directory of
 videos / frame directories / .npy clips, using the in-house ResNet-101
-backbone: appearance = pooled res5 per sampled frame, motion = TSN-style
-RGB-difference stream (vision/video.py documents the approximation vs
-upstream's Kinetics 3D-ResNeXt).
+backbone: appearance = pooled res5 per sampled frame; motion = the
+Kinetics 3D-ResNeXt-101 (vision/resnext3d.py) when ``--motion_weights``
+points at the published ``resnext-101-kinetics.pth`` (or an npz of the
+converted pytree), else a TSN-style RGB-difference fallback through the
+2D backbone (vision/video.py documents the approximation).
 
     python -m vqacl_tpu.cli.extract_video_features \
         --videos /path/to/clips --out vid_feat/app_mot_train.h5 \
-        --weights frcnn_vg.npz
+        --weights frcnn_vg.npz --motion_weights resnext-101-kinetics.pth
 """
 
 from __future__ import annotations
@@ -28,6 +30,13 @@ def main(argv=None) -> None:
                         "unset — validation runs only)")
     p.add_argument("--side", type=int, default=224,
                    help="square frame resolution fed to the backbone")
+    p.add_argument("--motion_weights", default=None,
+                   help="Kinetics 3D-ResNeXt-101 weights for the motion "
+                        "half: the published resnext-101-kinetics.pth or "
+                        "an npz of the converted pytree (RGB-diff "
+                        "fallback if unset)")
+    p.add_argument("--motion_side", type=int, default=112,
+                   help="square clip resolution fed to the 3D backbone")
     args = p.parse_args(argv)
 
     import jax
@@ -42,10 +51,20 @@ def main(argv=None) -> None:
         from vqacl_tpu.vision import frcnn
         params = frcnn.init_frcnn(jax.random.PRNGKey(0))
 
+    motion_params = None
+    if args.motion_weights:
+        if args.motion_weights.endswith(".npz"):
+            motion_params = load_npz_params(args.motion_weights)
+        else:
+            from vqacl_tpu.vision.resnext3d import load_torch_checkpoint
+            motion_params = load_torch_checkpoint(args.motion_weights)
+
     sources = video.enumerate_video_sources(args.videos)
     print(f"extracting {len(sources)} videos -> {args.out}", flush=True)
     video.extract_videos(params, sources, out_h5=args.out,
-                         side=args.side, verbose=True)
+                         side=args.side, verbose=True,
+                         motion_params=motion_params,
+                         motion_side=args.motion_side)
     print("done", flush=True)
 
 
