@@ -1,23 +1,26 @@
-"""Synthetic Table-1 surrogate: Vanilla vs ER vs Ours on one task stream.
+"""Synthetic Table-1 surrogate: Vanilla/EWC/MAS vs ER vs Ours.
 
 The reference's headline benchmark is quality (paper Table 1 — SURVEY
-§6): sequential finetuning forgets, experience replay (ER) recovers
-most accuracy, and the prototype model ("Ours") beats ER on both final
-average accuracy (AP↑) and average forgetting (Forget↓). The real
-datasets don't exist in this environment, so this script reproduces the
-QUALITATIVE ordering end-to-end on synthetic data with real forgetting
-pressure: ``SyntheticDataModule(task_shift=1)`` maps the SAME visual
-category to a DIFFERENT answer under each task, so each task's training
-overwrites earlier mappings unless the learner retains them.
+§6): sequential finetuning forgets, parameter-importance regularizers
+(EWC/MAS) reduce forgetting without memory, experience replay (ER)
+recovers most accuracy, and the prototype model ("Ours") beats ER on
+both final average accuracy (AP↑) and average forgetting (Forget↓).
+The real datasets don't exist in this environment, so this script
+reproduces the QUALITATIVE ordering end-to-end on synthetic data with
+real forgetting pressure: ``SyntheticDataModule(task_shift=1)`` maps
+the SAME visual category to a DIFFERENT answer under each task, so each
+task's training overwrites earlier mappings unless the learner retains
+them.
 
-All three rows run the REAL pipeline — dual-level CL loop, group
-loaders, exemplar buffer, compiled train/eval steps, official VQA
-accuracy — differing only in the reference's own switches
-(``--memory`` off / on / on+prototypes):
+All rows run the REAL pipeline — dual-level CL loop, group loaders,
+exemplar buffer, compiled train/eval steps, official VQA accuracy —
+differing only in the framework's own switches:
 
-  vanilla  memory=False  use_prototype=False   (Table 1 "Vanilla")
-  er       memory=True   use_prototype=False   (Table 1 "ER")
-  ours     memory=True   use_prototype=True    (Table 1 "Ours")
+  vanilla  memory=False  use_prototype=False    (Table 1 "Vanilla")
+  ewc      〃 + --cl_reg ewc                     (Table 1 "EWC")
+  mas      〃 + --cl_reg mas                     (Table 1 "MAS")
+  er       memory=True   use_prototype=False    (Table 1 "ER")
+  ours     memory=True   use_prototype=True     (Table 1 "Ours")
 
 Writes ABLATION.md at the repo root plus one JSON line per row.
 
@@ -37,12 +40,15 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 ROWS = [
     ("vanilla", dict(memory=False, prototype=False)),
+    ("ewc", dict(memory=False, prototype=False, cl_reg="ewc")),
+    ("mas", dict(memory=False, prototype=False, cl_reg="mas")),
     ("er", dict(memory=True, prototype=False)),
     ("ours", dict(memory=True, prototype=True)),
 ]
 
 
-def run_row(name: str, memory: bool, prototype: bool, a, seed: int):
+def run_row(name: str, memory: bool, prototype: bool, a, seed: int,
+            cl_reg: str = "none"):
     import jax.numpy as jnp
 
     from vqacl_tpu.cl.tasks import ALL_TASKS
@@ -62,6 +68,11 @@ def run_row(name: str, memory: bool, prototype: bool, a, seed: int):
     cfg.train.valid_batch_size = 16
     cfg.train.epochs = a.epochs
     cfg.train.seed = seed
+    cfg.train.cl_reg = cl_reg
+    if cl_reg != "none":
+        cfg.train.reg_lambda = a.ewc_lambda if cl_reg == "ewc" \
+            else a.mas_lambda
+        cfg.train.fisher_batches = a.fisher_batches
     cfg.output = os.path.join(a.out, name)
 
     tok = VLT5Tokenizer()
@@ -74,7 +85,8 @@ def run_row(name: str, memory: bool, prototype: bool, a, seed: int):
                            dtype=jnp.float32)
     metrics = trainer.train()
     return {"row": name, "memory": memory, "prototype": prototype,
-            "seed": seed, "Avg_acc": round(metrics["Avg_acc"], 2),
+            "cl_reg": cl_reg, "seed": seed,
+            "Avg_acc": round(metrics["Avg_acc"], 2),
             "Avg_forget": round(metrics["Avg_forget"], 2)}
 
 
@@ -86,6 +98,11 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--m_size", type=int, default=100)
     ap.add_argument("--answer_vocab", type=int, default=4)
+    ap.add_argument("--ewc_lambda", type=float, default=100.0)
+    ap.add_argument("--mas_lambda", type=float, default=1.0)
+    ap.add_argument("--fisher_batches", type=int, default=10)
+    ap.add_argument("--rows", default=None,
+                    help="comma list to run a subset (e.g. ewc,mas)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=1,
                     help="seeds per row (mean reported)")
@@ -95,40 +112,48 @@ def main() -> None:
         "ABLATION.md"))
     a = ap.parse_args()
 
+    rows = ROWS if not a.rows else \
+        [r for r in ROWS if r[0] in a.rows.split(",")]
     results = []
-    for name, sw in ROWS:
+    for name, sw in rows:
         accs, fgts = [], []
         for r in range(a.repeats):
             res = run_row(name, sw["memory"], sw["prototype"], a,
-                          seed=a.seed + r)
+                          seed=a.seed + r, cl_reg=sw.get("cl_reg", "none"))
             print(json.dumps(res), flush=True)
             accs.append(res["Avg_acc"])
             fgts.append(res["Avg_forget"])
         results.append((name, sw, sum(accs) / len(accs),
                         sum(fgts) / len(fgts)))
 
+    if rows != ROWS:
+        print("(subset run — ABLATION.md not rewritten)")
+        return
     lines = [
         "# Synthetic Table-1 surrogate (qualitative ordering check)",
         "",
         "Real Table-1 data is unavailable in this environment; this runs",
-        "the FULL pipeline (dual-level CL loop, exemplar buffer, compiled",
-        "train/eval, official VQA accuracy) on synthetic data with",
-        "task-dependent answer mappings (`SyntheticDataModule(task_shift=1)`)",
-        "so sequential finetuning actually forgets. Expected qualitative",
-        "ordering from the paper: Ours ≥ ER > Vanilla on AP, and",
-        "Ours ≤ ER < Vanilla on Forgetting. Produced by",
+        "the FULL pipeline (dual-level CL loop, exemplar buffer, EWC/MAS",
+        "consolidation, compiled train/eval, official VQA accuracy) on",
+        "synthetic data with task-dependent answer mappings",
+        "(`SyntheticDataModule(task_shift=1)`) so sequential finetuning",
+        "actually forgets. Expected qualitative ordering from the paper",
+        "(BASELINE.md Table 1): Ours ≥ ER > MAS ≥ EWC ≥ Vanilla on AP,",
+        "and Forget improving in the same direction. Produced by",
         "`python scripts/ablation.py`.",
         "",
         f"Config: {a.tasks} tasks x {a.n_train} train QA, epochs "
-        f"{a.epochs}, M={a.m_size}, tiny model, "
+        f"{a.epochs}, M={a.m_size}, λ_EWC={a.ewc_lambda:g}, "
+        f"λ_MAS={a.mas_lambda:g}, tiny model, "
         f"{a.repeats} seed(s), task_shift=1.",
         "",
-        "| row | replay | prototypes | AP (Avg_acc) ↑ | Forget ↓ |",
-        "|---|---|---|---|---|",
+        "| row | replay | prototypes | reg | AP (Avg_acc) ↑ | Forget ↓ |",
+        "|---|---|---|---|---|---|",
     ]
     for name, sw, acc, fgt in results:
         lines.append(f"| {name} | {'✓' if sw['memory'] else '—'} | "
                      f"{'✓' if sw['prototype'] else '—'} | "
+                     f"{sw.get('cl_reg', '—') if sw.get('cl_reg') else '—'} | "
                      f"{acc:.2f} | {fgt:.2f} |")
     lines.append("")
     with open(a.md, "w") as f:

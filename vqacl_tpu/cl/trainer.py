@@ -135,6 +135,18 @@ class VQACLTrainer:
             self.eval_step = make_eval_step(cfg, dtype=self.dtype)
         self._train_step_cache: Dict[Any, Any] = {}
 
+        # EWC/MAS parameter-importance baselines (cl/regularizers.py —
+        # Table-1 comparison methods the reference repo doesn't ship).
+        # RegState pytrees are built from the PLACED params so omega and
+        # anchor inherit the replicated/tp/fsdp layout.
+        self._reg = None
+        self._imp_step = None
+        if getattr(cfg.train, "cl_reg", "none") != "none":
+            from vqacl_tpu.cl.regularizers import init_reg_state
+            self._reg = init_reg_state(self.state.params)
+            self._log(f"CL regularizer: {cfg.train.cl_reg} "
+                      f"(λ={cfg.train.reg_lambda})")
+
         # NExT-QA swaps in its G0..G4 video-category groups
         self.splits = getattr(data, "category_splits", CATEGORY_SPLITS)
         self.buffer = ExemplarBuffer(cfg.train.m_size, splits=self.splits)
@@ -166,17 +178,23 @@ class VQACLTrainer:
     def _train_step(self, use_memory_loss: bool):
         key = bool(use_memory_loss)
         if key not in self._train_step_cache:
+            reg_lambda = float(self.cfg.train.reg_lambda) \
+                if self._reg is not None else 0.0
             if self._cache is not None:
                 from vqacl_tpu.data.device_cache import make_cached_train_step
                 fn = make_cached_train_step(
                     self.cfg, self._tx, self._cache, dtype=self.dtype,
                     use_memory_loss=use_memory_loss,
-                    remat=self.cfg.mesh.remat)
+                    remat=self.cfg.mesh.remat, reg_lambda=reg_lambda)
             else:
                 fn = make_train_step(
                     self.cfg, self._tx, dtype=self.dtype,
                     use_memory_loss=use_memory_loss,
-                    remat=self.cfg.mesh.remat)
+                    remat=self.cfg.mesh.remat, reg_lambda=reg_lambda)
+            if self._reg is not None:
+                raw = fn
+                # late-bound: consolidation swaps self._reg between tasks
+                fn = lambda state, batch: raw(state, batch, self._reg)  # noqa: E731
             self._train_step_cache[key] = fn
         return self._train_step_cache[key]
 
@@ -367,6 +385,42 @@ class VQACLTrainer:
                               f" val {score.get('overall', 0):.2f}")
             self.metrics_log.append({"task": task, "group": group,
                                      "loss": meter.val})
+
+        if self._reg is not None:
+            self._consolidate_reg(train_ds)
+
+    # ------------------------------------------------------------------
+    def _consolidate_reg(self, train_ds) -> None:
+        """End-of-task EWC/MAS consolidation: estimate parameter
+        importance over (up to ``fisher_batches``) task batches with ONE
+        jitted grad+accumulate program, then fold it into the running
+        omega and re-anchor at the just-trained params."""
+        from vqacl_tpu.cl import regularizers as R
+        cfg = self.cfg
+        if self._imp_step is None:
+            self._imp_step = R.make_importance_step(
+                cfg, cfg.train.cl_reg, dtype=self.dtype)
+        bs = cfg.train.batch_size
+        loader = BatchLoader(train_ds, np.arange(len(train_ds)), bs,
+                             shuffle=True, seed=cfg.train.seed + 13,
+                             with_targets=True,
+                             drop_last=(len(train_ds) >= bs),
+                             collate_kw=self._ck())
+        acc = jax.tree.map(jnp.zeros_like, self._reg.omega)
+        n = 0
+        for batch in loader:
+            t = dict(shard_batch(self.ctx, batch["tensors"]))
+            if self._cache is not None:
+                from vqacl_tpu.data.device_cache import _lookup_jit
+                t["vis_feats"], t["boxes"] = _lookup_jit(
+                    self._cache, t.pop("slots"))
+            acc = self._imp_step(acc, self.state.params,
+                                 self.state.proto, t)
+            n += 1
+            if n >= cfg.train.fisher_batches:
+                break
+        self._reg = R.consolidate(self._reg, self.state.params, acc, n)
+        self._log(f"   {cfg.train.cl_reg} consolidated over {n} batches")
 
     # ------------------------------------------------------------------
     def predict(self, loader: BatchLoader) -> Dict[Any, str]:

@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_V", type=float, default=0.1)
     p.add_argument("--lambda_Q_new", type=float, default=0.0)
     p.add_argument("--lambda_V_new", type=float, default=0.0)
+    p.add_argument("--cl_reg", choices=["none", "ewc", "mas"],
+                   default="none",
+                   help="parameter-importance CL baseline (Table-1 "
+                        "comparison methods; not in the reference repo)")
+    p.add_argument("--reg_lambda", type=float, default=1.0,
+                   help="EWC/MAS penalty weight λ")
+    p.add_argument("--fisher_batches", type=int, default=40,
+                   help="importance-estimation batches per task")
     p.add_argument("--use_class_hierarchy", action="store_true", default=True)
     # output
     p.add_argument("--output", default="snap/vqacl")
@@ -189,6 +197,9 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     t.lambda_V = args.lambda_V
     t.lambda_Q_new = args.lambda_Q_new
     t.lambda_V_new = args.lambda_V_new
+    t.cl_reg = args.cl_reg
+    t.reg_lambda = args.reg_lambda
+    t.fisher_batches = args.fisher_batches
     me.dp = args.mesh_dp
     me.tp = args.mesh_tp
     me.pp = args.mesh_pp

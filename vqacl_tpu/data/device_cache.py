@@ -194,13 +194,13 @@ def make_cached_train_step(cfg, tx, cache: DeviceFeatureCache,
     import functools
 
     @functools.wraps(inner)
-    def step(state, batch):
+    def step(state, batch, *extra):
         b = dict(batch)
         slots = b.pop("slots")
         feats, boxes = _lookup_jit(cache, slots)
         b["vis_feats"] = feats
         b["boxes"] = boxes
-        return inner(state, b)
+        return inner(state, b, *extra)     # extra: RegState for EWC/MAS
 
     return step
 

@@ -32,8 +32,13 @@ def make_train_step(cfg, tx: optax.GradientTransformation,
                     use_prototype: Optional[bool] = None,
                     use_memory_loss: bool = False,
                     remat: bool = False,
-                    donate: bool = True) -> Callable:
-    """Returns jitted ``(state, batch) -> (state, metrics)``.
+                    donate: bool = True,
+                    reg_lambda: float = 0.0) -> Callable:
+    """Returns jitted ``(state, batch) -> (state, metrics)``; with
+    ``reg_lambda > 0`` the signature is ``(state, batch, reg)`` where
+    ``reg`` is a ``cl.regularizers.RegState`` and the loss gains the
+    EWC/MAS quadratic anchor penalty ``λ/2 Σ ω (θ−θ*)²`` (differentiated
+    inside the same compiled program — no extra host step).
 
     batch: input_ids[B,L] i32, vis_feats[B,N,2048] f32, boxes[B,N,4] f32,
     target_ids[B,T] i32 (-100 pad), scores[B] f32, ques_labels[B,10],
@@ -43,7 +48,7 @@ def make_train_step(cfg, tx: optax.GradientTransformation,
     if use_prototype is None:
         use_prototype = mcfg.use_prototype
 
-    def loss_fn(params, proto, batch, rng):
+    def loss_fn(params, proto, batch, rng, reg=None):
         out = vlt5.forward_train(
             params, mcfg, batch, proto,
             proto_alpha=tcfg.proto_alpha, proto_beta=tcfg.proto_beta,
@@ -51,12 +56,16 @@ def make_train_step(cfg, tx: optax.GradientTransformation,
             use_memory_loss=use_memory_loss,
             lambda_q=tcfg.lambda_Q, lambda_v=tcfg.lambda_V,
             deterministic=False, rng=rng, dtype=dtype, remat=remat)
-        return out.loss, (out.proto_state, out.aux)
+        loss = out.loss
+        if reg is not None:
+            from vqacl_tpu.cl.regularizers import penalty
+            loss = loss + 0.5 * reg_lambda * penalty(params, reg)
+        return loss, (out.proto_state, out.aux)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     accum = int(getattr(tcfg, "grad_accum", 1))
 
-    def _accum_grads(state, batch, step_rng):
+    def _accum_grads(state, batch, step_rng, reg=None):
         """lax.scan over ``accum`` equal microbatches: averaged grads are
         bit-for-bit the full-batch grads (the loss is a per-example batch
         mean), at 1/accum the activation memory. The prototype EMA bank
@@ -80,7 +89,8 @@ def make_train_step(cfg, tx: optax.GradientTransformation,
         def body(carry, xs):
             proto_c, gsum = carry
             mb, r = xs
-            (l, (proto_c, aux)), g = grad_fn(state.params, proto_c, mb, r)
+            (l, (proto_c, aux)), g = grad_fn(state.params, proto_c, mb, r,
+                                             reg)
             gsum = jax.tree.map(jnp.add, gsum, g)
             return (proto_c, gsum), (l, aux)
 
@@ -89,14 +99,15 @@ def make_train_step(cfg, tx: optax.GradientTransformation,
         grads = jax.tree.map(lambda g: g / accum, gsum)
         return losses.mean(), proto, jax.tree.map(jnp.mean, auxes), grads
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
-                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   reg=None) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng, step_rng = jax.random.split(state.rng)
         if accum > 1:
-            loss, proto, aux, grads = _accum_grads(state, batch, step_rng)
+            loss, proto, aux, grads = _accum_grads(state, batch, step_rng,
+                                                   reg)
         else:
             (loss, (proto, aux)), grads = grad_fn(
-                state.params, state.proto, batch, step_rng)
+                state.params, state.proto, batch, step_rng, reg)
         # LR-less AdamW direction, then dynamic schedule (see optim.py)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         lr = dynamic_lr(state.step.astype(jnp.float32), state.sched,

@@ -148,6 +148,12 @@ class TrainConfig:
     proto_alpha: float = 0.5
     proto_beta: float = 0.3
     use_class_hierarchy: bool = True    # dual-level inner loop over G1..G5
+    # parameter-importance CL baselines from the paper's Table 1
+    # (cl/regularizers.py; the reference implements neither):
+    # "none" | "ewc" | "mas"
+    cl_reg: str = "none"
+    reg_lambda: float = 1.0             # penalty weight λ
+    fisher_batches: int = 40            # importance-estimation batches/task
 
 
 @dataclass
