@@ -137,10 +137,13 @@ def main() -> None:
         "consolidation, compiled train/eval, official VQA accuracy) on",
         "synthetic data with task-dependent answer mappings",
         "(`SyntheticDataModule(task_shift=1)`) so sequential finetuning",
-        "actually forgets. Expected qualitative ordering from the paper",
-        "(BASELINE.md Table 1): Ours ≥ ER > MAS ≥ EWC ≥ Vanilla on AP,",
-        "and Forget improving in the same direction. Produced by",
-        "`python scripts/ablation.py`.",
+        "actually forgets. The paper's qualitative claims (BASELINE.md",
+        "Table 1) checked here: every method beats Vanilla on Forget,",
+        "Ours has the best Forget and the best AP, and the",
+        "importance-regularized rows trade plasticity for retention.",
+        "Row-to-row AP gaps between the middle methods are within this",
+        "surrogate's noise (accuracy quantized at ~1.6% per test cell,",
+        "2 seeds). Produced by `python scripts/ablation.py`.",
         "",
         f"Config: {a.tasks} tasks x {a.n_train} train QA, epochs "
         f"{a.epochs}, M={a.m_size}, λ_EWC={a.ewc_lambda:g}, "
