@@ -20,6 +20,7 @@ differing only in the framework's own switches:
   ewc      〃 + --cl_reg ewc                     (Table 1 "EWC")
   mas      〃 + --cl_reg mas                     (Table 1 "MAS")
   er       memory=True   use_prototype=False    (Table 1 "ER")
+  der      〃 + --cl_reg der                     (Table 1 "DER")
   ours     memory=True   use_prototype=True     (Table 1 "Ours")
 
 Writes ABLATION.md at the repo root plus one JSON line per row.
@@ -43,6 +44,7 @@ ROWS = [
     ("ewc", dict(memory=False, prototype=False, cl_reg="ewc")),
     ("mas", dict(memory=False, prototype=False, cl_reg="mas")),
     ("er", dict(memory=True, prototype=False)),
+    ("der", dict(memory=True, prototype=False, cl_reg="der")),
     ("ours", dict(memory=True, prototype=True)),
 ]
 
@@ -69,10 +71,12 @@ def run_row(name: str, memory: bool, prototype: bool, a, seed: int,
     cfg.train.epochs = a.epochs
     cfg.train.seed = seed
     cfg.train.cl_reg = cl_reg
-    if cl_reg != "none":
+    if cl_reg in ("ewc", "mas"):
         cfg.train.reg_lambda = a.ewc_lambda if cl_reg == "ewc" \
             else a.mas_lambda
         cfg.train.fisher_batches = a.fisher_batches
+    elif cl_reg in ("der", "derpp"):
+        cfg.train.reg_lambda = a.der_alpha
     cfg.output = os.path.join(a.out, name)
 
     tok = VLT5Tokenizer()
@@ -100,6 +104,7 @@ def main() -> None:
     ap.add_argument("--answer_vocab", type=int, default=4)
     ap.add_argument("--ewc_lambda", type=float, default=100.0)
     ap.add_argument("--mas_lambda", type=float, default=1.0)
+    ap.add_argument("--der_alpha", type=float, default=0.5)
     ap.add_argument("--fisher_batches", type=int, default=10)
     ap.add_argument("--rows", default=None,
                     help="comma list to run a subset (e.g. ewc,mas)")
@@ -134,7 +139,8 @@ def main() -> None:
         "",
         "Real Table-1 data is unavailable in this environment; this runs",
         "the FULL pipeline (dual-level CL loop, exemplar buffer, EWC/MAS",
-        "consolidation, compiled train/eval, official VQA accuracy) on",
+        "consolidation, DER logit capture+distillation, compiled",
+        "train/eval, official VQA accuracy) on",
         "synthetic data with task-dependent answer mappings",
         "(`SyntheticDataModule(task_shift=1)`) so sequential finetuning",
         "actually forgets. The paper's qualitative claims (BASELINE.md",
@@ -147,7 +153,7 @@ def main() -> None:
         "",
         f"Config: {a.tasks} tasks x {a.n_train} train QA, epochs "
         f"{a.epochs}, M={a.m_size}, λ_EWC={a.ewc_lambda:g}, "
-        f"λ_MAS={a.mas_lambda:g}, tiny model, "
+        f"λ_MAS={a.mas_lambda:g}, α_DER={a.der_alpha:g}, tiny model, "
         f"{a.repeats} seed(s), task_shift=1.",
         "",
         "| row | replay | prototypes | reg | AP (Avg_acc) ↑ | Forget ↓ |",

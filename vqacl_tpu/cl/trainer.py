@@ -141,11 +141,25 @@ class VQACLTrainer:
         # anchor inherit the replicated/tp/fsdp layout.
         self._reg = None
         self._imp_step = None
-        if getattr(cfg.train, "cl_reg", "none") != "none":
+        # DER/DER++ (train/step.py::make_der_replay_step): replay batches
+        # distill against logits snapshotted at buffer-insert time
+        self._der = getattr(cfg.train, "cl_reg", "none") in ("der", "derpp")
+        self._der_step_fn = None
+        self._logits_step = None
+        cl_reg = getattr(cfg.train, "cl_reg", "none")
+        if cl_reg in ("ewc", "mas"):
             from vqacl_tpu.cl.regularizers import init_reg_state
             self._reg = init_reg_state(self.state.params)
-            self._log(f"CL regularizer: {cfg.train.cl_reg} "
+            self._log(f"CL regularizer: {cl_reg} "
                       f"(λ={cfg.train.reg_lambda})")
+        elif self._der:
+            if not cfg.train.memory:
+                raise ValueError("cl_reg='der'/'derpp' is a replay method "
+                                 "— it requires --memory")
+            self._log(f"CL regularizer: {cl_reg} "
+                      f"(α={cfg.train.reg_lambda}"
+                      + (f", β={cfg.train.der_beta}" if cl_reg == "derpp"
+                         else "") + ")")
 
         # NExT-QA swaps in its G0..G4 video-category groups
         self.splits = getattr(data, "category_splits", CATEGORY_SPLITS)
@@ -204,6 +218,74 @@ class VQACLTrainer:
             ds.slot_of = self._slot_of
         return ds
 
+    def _der_replay_step(self):
+        if self._der_step_fn is None:
+            if self._cache is not None:
+                from vqacl_tpu.data.device_cache import make_cached_der_step
+                self._der_step_fn = make_cached_der_step(
+                    self.cfg, self._tx, self._cache, dtype=self.dtype,
+                    remat=self.cfg.mesh.remat)
+            else:
+                from vqacl_tpu.train.step import make_der_replay_step
+                self._der_step_fn = make_der_replay_step(
+                    self.cfg, self._tx, dtype=self.dtype,
+                    remat=self.cfg.mesh.remat)
+        return self._der_step_fn
+
+    def _der_capture(self, task_idx: int) -> None:
+        """Snapshot teacher-forced logits for the exemplars that just
+        entered the buffer (DER: the stored ``der_logits`` [T,V] f16 —
+        plus the sampled target and score that produced them — become
+        the replay distillation target for the rest of the run).
+
+        Cost: T·V f16 per exemplar on host (t5-base: ~0.63 MB, so
+        M=5000 ≈ 3.2 GB host RAM); batches ship the [B,T,V] tensor per
+        replay step, so DER is for host-fed or cache-fed training with
+        spare host→device bandwidth — ER (plain replay) remains the
+        cheap default."""
+        # normal flow: only the just-inserted slot (task_idx-1) lacks
+        # logits; on resume every rebuilt slot does — those re-capture
+        # with the loaded checkpoint's weights (the closest available
+        # stand-in for the insert-time model)
+        new_items = [d for g in self.buffer.sets
+                     for slot in self.buffer.sets[g]
+                     for d in slot if "der_logits" not in d]
+        if not new_items:
+            return
+        if self._logits_step is None:
+            if self._cache is not None:
+                from vqacl_tpu.data.device_cache import \
+                    make_cached_logits_step
+                self._logits_step = make_cached_logits_step(
+                    self.cfg, self._cache, dtype=self.dtype)
+            else:
+                from vqacl_tpu.train.step import make_logits_step
+                self._logits_step = make_logits_step(self.cfg,
+                                                     dtype=self.dtype)
+        ds = self._slotify(self.data.make_dataset(new_items, mode="train",
+                                                  task_idx=task_idx - 1))
+        bs = self.cfg.train.batch_size
+        loader = BatchLoader(ds, np.arange(len(ds)), bs, shuffle=False,
+                             with_targets=True, drop_last=False,
+                             collate_kw=self._ck())
+        off = 0
+        for batch in loader:
+            logits = self._logits_step(
+                self.state.params, self.state.proto,
+                shard_batch(self.ctx, batch["tensors"]))
+            arr = np.asarray(logits).astype(np.float16)
+            tgt = np.asarray(batch["tensors"]["target_ids"])
+            sc = np.asarray(batch["tensors"]["scores"])
+            n = batch["meta"]["n_real"]
+            for i in range(n):
+                d = new_items[off + i]
+                d["der_logits"] = arr[i]
+                d["der_target_ids"] = tgt[i].tolist()
+                d["der_score"] = float(sc[i])
+            off += n
+        mb = off * arr.shape[1] * arr.shape[2] * 2 / 1e6
+        self._log(f"   DER capture: {off} exemplars ({mb:.1f} MB logits)")
+
     def _reset_optimizer(self, total_train_num: int) -> None:
         """Fresh AdamW per group with the reference's t_total accounting
         (trainer_base.py:137-145)."""
@@ -235,6 +317,8 @@ class VQACLTrainer:
                     self.buffer.update(k,
                                        self.data.train_items(self.tasks[k - 1]),
                                        self.data.cate_map, self.py_rng)
+                if self._der and start_idx > 0:
+                    self._der_capture(start_idx)
 
         for task_idx in range(start_idx, len(self.tasks)):
             task = self.tasks[task_idx]
@@ -302,6 +386,8 @@ class VQACLTrainer:
             self.buffer.update(task_idx, prev, self.data.cate_map, self.py_rng)
             mem_items = self.buffer.all_examplars()
             self._log(f"# memory size: {len(mem_items)}")
+            if self._der:
+                self._der_capture(task_idx)
 
         train_ds = self._slotify(self.data.dataset(task, "train",
                                                     task_idx=task_idx))
@@ -370,7 +456,11 @@ class VQACLTrainer:
                         self.state, shard_batch(self.ctx, batch["tensors"]))
                     pend.append(m["loss"])
                     if mem_batch is not None:
-                        self.state, mm = step_fn(
+                        # DER replay distills against stored logits; ER
+                        # (the reference's replay) is a second CE step
+                        mem_fn = self._der_replay_step() if self._der \
+                            else step_fn
+                        self.state, mm = mem_fn(
                             self.state,
                             shard_batch(self.ctx, mem_batch["tensors"]))
                         pend_mem.append(mm["loss"])

@@ -97,14 +97,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_V", type=float, default=0.1)
     p.add_argument("--lambda_Q_new", type=float, default=0.0)
     p.add_argument("--lambda_V_new", type=float, default=0.0)
-    p.add_argument("--cl_reg", choices=["none", "ewc", "mas"],
+    p.add_argument("--cl_reg",
+                   choices=["none", "ewc", "mas", "der", "derpp"],
                    default="none",
-                   help="parameter-importance CL baseline (Table-1 "
-                        "comparison methods; not in the reference repo)")
+                   help="CL baseline (Table-1 comparison methods; not in "
+                        "the reference repo): EWC/MAS parameter-importance "
+                        "penalties, DER/DER++ logit-replay distillation")
     p.add_argument("--reg_lambda", type=float, default=1.0,
-                   help="EWC/MAS penalty weight λ")
+                   help="EWC/MAS penalty weight λ / DER distillation α")
     p.add_argument("--fisher_batches", type=int, default=40,
                    help="importance-estimation batches per task")
+    p.add_argument("--der_beta", type=float, default=0.5,
+                   help="DER++ ground-truth CE weight β on replay batches")
     p.add_argument("--use_class_hierarchy", action="store_true", default=True)
     # output
     p.add_argument("--output", default="snap/vqacl")
@@ -200,6 +204,7 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     t.cl_reg = args.cl_reg
     t.reg_lambda = args.reg_lambda
     t.fisher_batches = args.fisher_batches
+    t.der_beta = args.der_beta
     me.dp = args.mesh_dp
     me.tp = args.mesh_tp
     me.pp = args.mesh_pp

@@ -55,6 +55,13 @@ def collate(examples: Sequence[Dict[str, Any]],
     ques_labels = np.zeros((Bp, n_ques_types), np.float32)
     cate_labels = np.zeros((Bp, n_categories), np.float32)
     target_ids = np.full((Bp, T), -100, np.int32) if with_targets else None
+    # DER replay batches carry the logits stored at buffer-insert time
+    # (cl/trainer.py::_der_capture); f16 on host, cast on device. Pad
+    # rows stay zero — their targets are all -100 so the loss masks them.
+    der_logits = None
+    if B > 0 and with_targets and "der_logits" in examples[0]:
+        V = int(np.asarray(examples[0]["der_logits"]).shape[-1])
+        der_logits = np.zeros((Bp, T, V), np.float16)
 
     question_ids, sents, answers = [], [], []
     for i, ex in enumerate(examples):
@@ -69,6 +76,9 @@ def collate(examples: Sequence[Dict[str, Any]],
             t = ex["target_ids"][:T]
             target_ids[i, :len(t)] = t
             scores[i] = ex.get("score", 1.0)
+        if der_logits is not None:
+            z = np.asarray(ex["der_logits"], np.float16)
+            der_logits[i, :z.shape[0]] = z[:T]
         ques_labels[i, ex["ques_label"]] = 1.0
         cate_labels[i, ex["cate_label"]] = 1.0
         question_ids.append(ex.get("question_id", i))
@@ -88,6 +98,8 @@ def collate(examples: Sequence[Dict[str, Any]],
         batch["boxes"] = boxes
     if with_targets:
         batch["target_ids"] = target_ids
+    if der_logits is not None:
+        batch["der_logits"] = der_logits
     meta = {"question_ids": question_ids, "sents": sents,
             "answers": answers, "n_real": B}
     return {"tensors": batch, "meta": meta}

@@ -223,6 +223,44 @@ def make_cached_eval_step(cfg, cache: DeviceFeatureCache,
     return step
 
 
+def make_cached_der_step(cfg, tx, cache: DeviceFeatureCache,
+                         dtype=jnp.bfloat16, **kw):
+    """DER replay step over slot-indexed batches (train/step.py::
+    make_der_replay_step; see make_cached_train_step)."""
+    from vqacl_tpu.train.step import make_der_replay_step
+
+    inner = make_der_replay_step(cfg, tx, dtype=dtype, **kw)
+
+    def step(state, batch):
+        b = dict(batch)
+        slots = b.pop("slots")
+        feats, boxes = _lookup_jit(cache, slots)
+        b["vis_feats"] = feats
+        b["boxes"] = boxes
+        return inner(state, b)
+
+    return step
+
+
+def make_cached_logits_step(cfg, cache: DeviceFeatureCache,
+                            dtype=jnp.bfloat16, **kw):
+    """DER capture pass over slot-indexed batches (train/step.py::
+    make_logits_step)."""
+    from vqacl_tpu.train.step import make_logits_step
+
+    inner = make_logits_step(cfg, dtype=dtype, **kw)
+
+    def step(params, proto, batch):
+        b = dict(batch)
+        slots = b.pop("slots")
+        feats, boxes = _lookup_jit(cache, slots)
+        b["vis_feats"] = feats
+        b["boxes"] = boxes
+        return inner(params, proto, b)
+
+    return step
+
+
 def _lookup_jit(cache: DeviceFeatureCache, slots):
     """Jitted gather, compiled once per cache instance (the tables are
     passed as arguments so they are not baked into the program — the

@@ -121,6 +121,14 @@ class VQAPartitionDataset:
             ex["score"] = score
             ex["answers"] = list(answers)
             ex["label"] = d["label"]
+        if "der_logits" in d:
+            # DER exemplar (cl/trainer.py::_der_capture): replay with the
+            # EXACT teacher-forcing target sampled at buffer-insert time
+            # — re-sampling the multinomial answer here would misalign
+            # the stored logits with the decoder inputs
+            ex["target_ids"] = [int(x) for x in d["der_target_ids"]]
+            ex["score"] = float(d.get("der_score", 1.0))
+            ex["der_logits"] = d["der_logits"]
         return ex
 
 

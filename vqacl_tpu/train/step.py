@@ -167,6 +167,107 @@ def make_eval_step(cfg, dtype=jnp.bfloat16,
     return jax.jit(eval_step)
 
 
+def make_logits_step(cfg, dtype=jnp.bfloat16,
+                     use_prototype: Optional[bool] = None) -> Callable:
+    """Teacher-forced logits ``(params, proto, batch) -> [B,T,V] f32``
+    with retrieval-only prototypes, deterministic — the DER capture
+    pass (cl/trainer.py::_der_capture) that snapshots each exemplar's
+    logits as it enters the replay buffer."""
+    mcfg = cfg.model
+    if use_prototype is None:
+        use_prototype = mcfg.use_prototype
+
+    def logits_step(params, proto, batch):
+        hidden, enc_mask = vlt5.encode(
+            params, mcfg, batch["input_ids"], batch["vis_feats"],
+            batch["boxes"], deterministic=True, dtype=dtype)
+        if use_prototype:
+            hidden, enc_mask, _, _ = vlt5.augment(
+                params, mcfg, hidden, enc_mask, proto,
+                proto_update_flag=False)
+        return vlt5.decode_train(params, mcfg, hidden, enc_mask,
+                                 batch["target_ids"], deterministic=True,
+                                 dtype=dtype)
+
+    return jax.jit(logits_step)
+
+
+def make_der_replay_step(cfg, tx: optax.GradientTransformation,
+                         dtype=jnp.bfloat16,
+                         use_prototype: Optional[bool] = None,
+                         remat: bool = False,
+                         donate: bool = True) -> Callable:
+    """Dark-Experience-Replay step (Buzzega et al. 2020) for memory
+    batches — a Table-1 comparison method the reference repo doesn't
+    implement (its replay is plain ER: a second CE step,
+    vqacl.py:371-373).
+
+    The batch carries ``der_logits`` [B,T,V] f16: the model's
+    teacher-forced logits captured when each exemplar entered the
+    buffer, with the teacher-forcing targets pinned at capture time
+    (data/partition.py). Loss = α·MSE(current logits, stored logits)
+    over valid target positions (α = ``train.reg_lambda``); DER++
+    (``cl_reg='derpp'``) adds β·CE on the replay ground truth
+    (β = ``train.der_beta``). Optimizer/clip/schedule scaffolding is
+    identical to ``make_train_step`` — one compiled program. Prototype
+    banks EMA-update exactly like a normal replay step so the SS/SI
+    mechanism composes with DER when ``use_prototype`` is on.
+    """
+    mcfg, tcfg = cfg.model, cfg.train
+    alpha = float(tcfg.reg_lambda)
+    beta = float(getattr(tcfg, "der_beta", 0.5)) \
+        if tcfg.cl_reg == "derpp" else 0.0
+    if use_prototype is None:
+        use_prototype = mcfg.use_prototype
+
+    def loss_fn(params, proto, batch, rng):
+        r_enc, r_dec = jax.random.split(rng)
+        hidden, enc_mask = vlt5.encode(
+            params, mcfg, batch["input_ids"], batch["vis_feats"],
+            batch["boxes"], deterministic=False, rng=r_enc, dtype=dtype,
+            remat=remat)
+        if use_prototype:
+            hidden, enc_mask, proto_new, _ = vlt5.augment(
+                params, mcfg, hidden, enc_mask, proto,
+                batch["ques_labels"], batch["cate_labels"],
+                proto_update_flag=True,
+                proto_alpha=tcfg.proto_alpha, proto_beta=tcfg.proto_beta)
+        else:
+            proto_new = proto
+        logits = vlt5.decode_train(params, mcfg, hidden, enc_mask,
+                                   batch["target_ids"], deterministic=False,
+                                   rng=r_dec, dtype=dtype, remat=remat)
+        mask = (batch["target_ids"] != -100).astype(jnp.float32)   # [B,T]
+        z = batch["der_logits"].astype(jnp.float32)
+        se = jnp.mean((logits.astype(jnp.float32) - z) ** 2, axis=-1)
+        mse = jnp.sum(se * mask) / jnp.clip(mask.sum(), 1.0, None)
+        loss = alpha * mse
+        if beta > 0.0:
+            loss = loss + beta * vlt5.weighted_lm_loss(
+                logits, batch["target_ids"], batch["scores"])
+        return loss, (proto_new, mse)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def der_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, (proto, mse)), grads = grad_fn(
+            state.params, state.proto, batch, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        lr = dynamic_lr(state.step.astype(jnp.float32), state.sched,
+                        tcfg.lr, tcfg.schedule)
+        params = jax.tree.map(lambda p, u: p - lr * u,
+                              state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, proto=proto, rng=rng,
+                               sched=state.sched)
+        return new_state, {"loss": loss, "der_mse": mse,
+                           "grad_norm": optax.global_norm(grads), "lr": lr}
+
+    return jax.jit(der_step, donate_argnums=(0,) if donate else ())
+
+
 def make_loss_eval_step(cfg, dtype=jnp.bfloat16,
                         use_prototype: Optional[bool] = None) -> Callable:
     """Validation-loss step: teacher-forced loss with retrieval-only

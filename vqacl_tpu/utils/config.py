@@ -148,12 +148,16 @@ class TrainConfig:
     proto_alpha: float = 0.5
     proto_beta: float = 0.3
     use_class_hierarchy: bool = True    # dual-level inner loop over G1..G5
-    # parameter-importance CL baselines from the paper's Table 1
-    # (cl/regularizers.py; the reference implements neither):
-    # "none" | "ewc" | "mas"
+    # CL baselines from the paper's Table 1 (the reference implements
+    # none of them): "none" | "ewc" | "mas" (parameter-importance,
+    # cl/regularizers.py) | "der" | "derpp" (dark experience replay,
+    # train/step.py::make_der_replay_step — replay batches train on
+    # α·MSE against the logits stored when each exemplar entered the
+    # buffer; derpp adds β·CE on the replay ground truth)
     cl_reg: str = "none"
-    reg_lambda: float = 1.0             # penalty weight λ
+    reg_lambda: float = 1.0             # penalty weight λ (EWC/MAS) / α (DER)
     fisher_batches: int = 40            # importance-estimation batches/task
+    der_beta: float = 0.5               # DER++ CE weight β (derpp only)
 
 
 @dataclass
