@@ -71,3 +71,68 @@ def test_load_reference_pth(tmp_path):
     h, m = vlt5.encode(params, cfg, jnp.asarray(ids), jnp.asarray(feats),
                        jnp.asarray(boxes))
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_export_roundtrip(tmp_path):
+    """save_reference_pth is the exact inverse of load_reference_pth:
+    pytree -> .pth -> pytree is bit-identical (incl. visual embedding),
+    and the exported dict strict-loads into an HF T5 (text part)."""
+    import jax
+
+    from vqacl_tpu.models.hf_import import save_reference_pth, to_state_dict
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+
+    cfg = tiny_model_config(vocab_size=64)
+    params = jax.tree.map(np.asarray,
+                          init_vlt5_params(jax.random.PRNGKey(0), cfg))
+    path = str(tmp_path / "q_causal_LAST.pth")
+    save_reference_pth(params, path, cfg)
+
+    back = load_reference_pth(path, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for key, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf, np.float32),
+                                      flat_b[key], err_msg=str(key))
+
+    # the text-model subset strict-loads into HF T5 (reference loads the
+    # same keys through trainer_base.py:246-269 with strict=False)
+    hf_cfg = transformers.T5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        d_ff=cfg.d_ff, num_layers=cfg.num_layers,
+        num_decoder_layers=cfg.num_decoder_layers, num_heads=cfg.num_heads,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        dropout_rate=0.0, tie_word_embeddings=True)
+    hf = transformers.T5ForConditionalGeneration(hf_cfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_state_dict(params, cfg).items()
+          if not k.startswith("encoder.visual_embedding")}
+    missing, unexpected = hf.load_state_dict(sd, strict=False)
+    assert missing == [] and unexpected == []
+
+    # HF forward with the exported weights == our forward numerics
+    from vqacl_tpu.models import t5 as t5m
+    rng = np.random.default_rng(1)
+    B, L = 2, cfg.max_text_length
+    ids = rng.integers(2, cfg.vocab_size, size=(B, L))
+    dec = rng.integers(2, cfg.vocab_size, size=(B, 4))
+    attn = np.ones((B, L), np.float32)
+    with torch.no_grad():
+        hf_logits = hf(input_ids=torch.from_numpy(ids),
+                       attention_mask=torch.ones(B, L, dtype=torch.long),
+                       decoder_input_ids=torch.from_numpy(dec)).logits.numpy()
+    emb = t5m.embed_tokens(params["shared"], jnp.asarray(ids), jnp.float32)
+    pb = t5m.compute_position_bias(
+        params["encoder"]["rel_bias"], L, L, True,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance)
+    bias = t5m.attention_scores_bias(jnp.asarray(attn)[:, None, None, :], pb)
+    enc = t5m.encoder_stack(params["encoder"], cfg, emb, bias)
+    dec_emb = t5m.embed_tokens(params["shared"], jnp.asarray(dec),
+                               jnp.float32)
+    seq = t5m.decoder_stack(params["decoder"], cfg, dec_emb, enc,
+                            jnp.asarray(attn))
+    logits = t5m.lm_logits(params["shared"], seq, cfg.d_model, True)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               rtol=2e-4, atol=2e-4)

@@ -83,6 +83,8 @@ def _maybe_visual_embedding(sd: Mapping[str, np.ndarray], cfg) -> Params | None:
             if f"{pre}.feat_embedding.1.weight" in sd:
                 p["feat_ln"] = _a(sd[f"{pre}.feat_embedding.1.weight"])
                 p["pos_ln"] = _a(sd[f"{pre}.absolute_vis_pos_embedding.1.weight"])
+            if f"{pre}.layer_norm.weight" in sd:
+                p["joint_ln"] = _a(sd[f"{pre}.layer_norm.weight"])
             if f"{pre}.img_order_embedding.weight" in sd:
                 p["img_order"] = _a(sd[f"{pre}.img_order_embedding.weight"])
             return p
@@ -137,6 +139,82 @@ def load_t5_base(cfg, name_or_path: str = "t5-base") -> Params:
     model = transformers.T5ForConditionalGeneration.from_pretrained(name_or_path)
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     return from_state_dict(sd, cfg)
+
+
+def to_state_dict(params: Params, cfg) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`from_state_dict`: pytree → reference/HF T5 key
+    naming, so checkpoints trained here can be loaded back into the
+    reference stack (``trainer_base.py:246-269`` — its loader strips
+    ``module.`` and remaps ``vis_encoder.``, then ``load_state_dict``).
+
+    Linear weights go back to torch ``[out, in]`` orientation; the tied
+    ``encoder/decoder.embed_tokens`` and ``lm_head`` copies of
+    ``shared`` are emitted so HF-style loads find every key. Prototype
+    banks are NOT exported — the reference never saves them
+    (``modeling_t5_our.py`` keeps them as plain module attrs outside
+    the state_dict), so there is no key to round-trip them through.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_stack(stack: Params, prefix: str, n_layers: int,
+                  is_decoder: bool) -> None:
+        for i in range(n_layers):
+            blk = stack[f"block_{i}"]
+            b = f"{prefix}.block.{i}.layer"
+            for nm, w in (("q", "wq"), ("k", "wk"), ("v", "wv"),
+                          ("o", "wo")):
+                sd[f"{b}.0.SelfAttention.{nm}.weight"] = _t(blk["attn"][w])
+            sd[f"{b}.0.layer_norm.weight"] = _a(blk["ln1"])
+            if is_decoder:
+                for nm, w in (("q", "wq"), ("k", "wk"), ("v", "wv"),
+                              ("o", "wo")):
+                    sd[f"{b}.1.EncDecAttention.{nm}.weight"] = \
+                        _t(blk["cross_attn"][w])
+                sd[f"{b}.1.layer_norm.weight"] = _a(blk["ln2"])
+                ff = 2
+            else:
+                ff = 1
+            sd[f"{b}.{ff}.DenseReluDense.wi.weight"] = _t(blk["mlp"]["wi"])
+            sd[f"{b}.{ff}.DenseReluDense.wo.weight"] = _t(blk["mlp"]["wo"])
+            sd[f"{b}.{ff}.layer_norm.weight"] = _a(blk[f"ln{ff + 1}"])
+        sd[f"{prefix}.final_layer_norm.weight"] = _a(stack["final_ln"])
+        sd[f"{prefix}.block.0.layer.0.SelfAttention"
+           ".relative_attention_bias.weight"] = _a(stack["rel_bias"])
+
+    shared = _a(params["shared"])
+    sd["shared.weight"] = shared
+    sd["encoder.embed_tokens.weight"] = shared
+    sd["decoder.embed_tokens.weight"] = shared
+    sd["lm_head.weight"] = shared
+    put_stack(params["encoder"], "encoder", cfg.num_layers, False)
+    put_stack(params["decoder"], "decoder", cfg.num_decoder_layers, True)
+    vis = params.get("visual_embedding")
+    if vis is not None:
+        pre = "encoder.visual_embedding"
+        sd[f"{pre}.feat_embedding.0.weight"] = _t(vis["feat_w"])
+        sd[f"{pre}.feat_embedding.0.bias"] = _a(vis["feat_b"])
+        sd[f"{pre}.absolute_vis_pos_embedding.0.weight"] = _t(vis["pos_w"])
+        sd[f"{pre}.absolute_vis_pos_embedding.0.bias"] = _a(vis["pos_b"])
+        if "feat_ln" in vis:
+            sd[f"{pre}.feat_embedding.1.weight"] = _a(vis["feat_ln"])
+            sd[f"{pre}.absolute_vis_pos_embedding.1.weight"] = \
+                _a(vis["pos_ln"])
+        if "joint_ln" in vis:
+            sd[f"{pre}.layer_norm.weight"] = _a(vis["joint_ln"])
+        if "img_order" in vis:
+            sd[f"{pre}.img_order_embedding.weight"] = _a(vis["img_order"])
+    return sd
+
+
+def save_reference_pth(params: Params, path: str, cfg) -> None:
+    """Export a trained pytree as a reference-loadable ``.pth``
+    state_dict (the migration round-trip partner of
+    :func:`load_reference_pth`)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_state_dict(params, cfg).items()}
+    torch.save(sd, path)
 
 
 def load_reference_pth(path: str, cfg) -> Params:
