@@ -136,3 +136,33 @@ def test_export_roundtrip(tmp_path):
     logits = t5m.lm_logits(params["shared"], seq, cfg.d_model, True)
     np.testing.assert_allclose(np.asarray(logits), hf_logits,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_export_pth_cli(tmp_path, capsys):
+    """npz checkpoint -> CLI export -> reference .pth -> re-ingest."""
+    import jax
+
+    from vqacl_tpu.cli.export_pth import main as export_main
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+    from vqacl_tpu.train.checkpoint import save_checkpoint
+
+    cfg = tiny_model_config(vocab_size=64)
+    params = jax.tree.map(np.asarray,
+                          init_vlt5_params(jax.random.PRNGKey(3), cfg))
+    proto = ProtoState.create(10, 80, cfg.d_model)
+    npz = str(tmp_path / "q_recognition_LAST")
+    save_checkpoint(npz, params, proto, step=11)
+
+    out = str(tmp_path / "q_recognition_LAST.pth")
+    export_main([npz, out])
+    assert "step 11" in capsys.readouterr().out
+
+    back = load_reference_pth(out, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params["decoder"]["block_0"]["cross_attn"]["wo"],
+                   np.float32),
+        back["decoder"]["block_0"]["cross_attn"]["wo"])
+    np.testing.assert_array_equal(
+        np.asarray(params["visual_embedding"]["feat_w"], np.float32),
+        back["visual_embedding"]["feat_w"])
