@@ -14,10 +14,14 @@ synsets, down-weighted ×0.1 when below the threshold (NExT-QA uses
 threshold 0.0 → no down-weighting, ``get_wups(..., 0)`` at
 nextqa_data.py:999-1008).
 
-When the WordNet corpus is absent (offline images — nltk data is not
-downloadable here), Wu-Palmer runs over the vendored WordNet subgraph in
-``evaluation.taxonomy`` (NExT-QA answer vocabulary, NLTK-equivalent
-algorithm); words outside that vocabulary degrade to exact-token match.
+Word-similarity backend resolution (full parity → graceful fallback):
+1. the NLTK WordNet corpus, when importable AND its data is installed;
+2. raw WNdb-3.0 database files (``index.noun``/``data.noun``), parsed
+   directly by ``evaluation.wordnet_db`` — coverage == full WordNet,
+   no NLTK data needed (``VQACL_WORDNET_DB`` or ``data/wordnet/``);
+3. the vendored WordNet subgraph in ``evaluation.taxonomy`` (NExT-QA
+   answer vocabulary, NLTK-equivalent algorithm); words outside it
+   degrade to exact-token match.
 The active backend is surfaced via ``wups_backend()`` and in the
 evaluator's returned dict.
 """
@@ -46,9 +50,18 @@ def wordnet_available() -> bool:
     return _WN is not None
 
 
+def _wndb():
+    from vqacl_tpu.evaluation import wordnet_db
+    return wordnet_db.get_db()
+
+
 def wups_backend() -> str:
     """Which word-similarity source WUPS is running on."""
-    return "nltk-wordnet" if wordnet_available() else "vendored-taxonomy"
+    if wordnet_available():
+        return "nltk-wordnet"
+    if _wndb() is not None:
+        return "wndb-files"
+    return "vendored-taxonomy"
 
 
 @functools.lru_cache(maxsize=131072)
@@ -59,6 +72,9 @@ def word_in_vocab(w: str) -> bool:
     (``wups_vocab_coverage``) so a degraded eval is visibly degraded."""
     if wordnet_available():
         return bool(_WN.synsets(w))
+    db = _wndb()
+    if db is not None:
+        return bool(db.synsets(w))
     return bool(taxonomy.synsets(w))
 
 
@@ -66,9 +82,9 @@ def word_in_vocab(w: str) -> bool:
 def word_similarity(a: str, b: str) -> float:
     """Max Wu-Palmer similarity over synset pairs.
 
-    Source order: real WordNet corpus → vendored taxonomy → exact match
-    (per word pair — a covered pair scores true Wu-Palmer even when its
-    neighbors in the sentence fall back)."""
+    Source order: real WordNet corpus → parsed WNdb files → vendored
+    taxonomy → exact match (per word pair — a covered pair scores true
+    Wu-Palmer even when its neighbors in the sentence fall back)."""
     if a == b:
         return 1.0
     if wordnet_available():
@@ -79,6 +95,10 @@ def word_similarity(a: str, b: str) -> float:
                 if s is not None and s > best:
                     best = s
         return best
+    db = _wndb()
+    if db is not None:
+        s = db.word_similarity(a, b)
+        return 0.0 if s is None else s
     s = taxonomy.word_similarity(a, b)
     return 0.0 if s is None else s
 
