@@ -105,8 +105,14 @@ def test_export_roundtrip(tmp_path):
         relative_attention_num_buckets=cfg.relative_attention_num_buckets,
         dropout_rate=0.0, tie_word_embeddings=True)
     hf = transformers.T5ForConditionalGeneration(hf_cfg)
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
-          for k, v in to_state_dict(params, cfg).items()
+    full_sd = to_state_dict(params, cfg)
+    # reference state_dicts carry the tied obj_order_embedding copy
+    # (modeling_t5_our.py:418) — exact key parity for strict loads
+    np.testing.assert_array_equal(
+        full_sd["encoder.visual_embedding.obj_order_embedding.weight"],
+        full_sd["shared.weight"])
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in full_sd.items()
           if not k.startswith("encoder.visual_embedding")}
     missing, unexpected = hf.load_state_dict(sd, strict=False)
     assert missing == [] and unexpected == []
@@ -138,6 +144,85 @@ def test_export_roundtrip(tmp_path):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_reference_prototype_ingest(tmp_path):
+    """Q/V_prototype.pt round-trip (vqacl.py:420-426 save, :540-542
+    eval-only load): torch.save'd banks -> ProtoState -> identical
+    retrieval tokens."""
+    from vqacl_tpu.models.hf_import import load_reference_prototypes
+    from vqacl_tpu.models.prototype import ProtoState, cosine_retrieve
+
+    d = 16
+    rng = np.random.default_rng(7)
+    q_bank = rng.normal(size=(10, d)).astype(np.float32)
+    v_bank = rng.normal(size=(80, d)).astype(np.float32)
+    qp, vp = str(tmp_path / "Q_prototype.pt"), str(tmp_path / "V_prototype.pt")
+    torch.save(torch.from_numpy(q_bank.copy()), qp)
+    torch.save(torch.from_numpy(v_bank.copy()), vp)
+
+    proto = load_reference_prototypes(ProtoState.create(10, 80, d), qp, vp)
+    np.testing.assert_array_equal(np.asarray(proto.q_proto), q_bank)
+    np.testing.assert_array_equal(np.asarray(proto.v_proto), v_bank)
+
+    pooled = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+    sel, idx, _ = cosine_retrieve(proto.q_proto, pooled)
+    sel2, idx2, _ = cosine_retrieve(jnp.asarray(q_bank), pooled)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel2))
+
+    # shape mismatch is rejected, not silently broadcast
+    with pytest.raises(ValueError):
+        load_reference_prototypes(ProtoState.create(10, 80, d + 1), qp, vp)
+
+
+def test_trainer_eval_only_proto_ingest(tmp_path):
+    """VQACLTrainer.test(load=True) picks up reference .pt banks placed
+    in the output dir (the vqacl.py:540-542 eval-only workflow)."""
+    import jax
+
+    from vqacl_tpu.cl.tasks import ALL_TASKS
+    from vqacl_tpu.cl.trainer import VQACLTrainer
+    from vqacl_tpu.data.synthetic_module import SyntheticDataModule
+    from vqacl_tpu.data.tokenizer import VLT5Tokenizer
+    from vqacl_tpu.models.prototype import ProtoState
+    from vqacl_tpu.models.vlt5 import init_vlt5_params
+    from vqacl_tpu.train.checkpoint import save_checkpoint
+    from vqacl_tpu.utils.config import Config, tiny_model_config
+
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    cfg.model.vocab_size = 32200
+    cfg.train.batch_size = 16
+    cfg.train.valid_batch_size = 16
+    cfg.output = str(tmp_path)
+    tok = VLT5Tokenizer()
+    data = SyntheticDataModule(tok, tasks=ALL_TASKS[:1],
+                               n_train_per_task=16, n_val_per_task=16,
+                               n_test_per_task=16,
+                               feat_dim=cfg.model.feat_dim,
+                               n_boxes=cfg.model.n_boxes)
+    trainer = VQACLTrainer(cfg, data, tok, verbose=False,
+                           dtype=jnp.float32)
+    params = jax.tree.map(np.asarray, init_vlt5_params(
+        jax.random.PRNGKey(0), cfg.model))
+    proto = ProtoState.create(cfg.model.n_ques_types,
+                              cfg.model.n_categories, cfg.model.d_model)
+    save_checkpoint(str(tmp_path / f"{ALL_TASKS[0]}_LAST"), params, proto,
+                    step=1)
+    rng = np.random.default_rng(3)
+    q_bank = rng.normal(size=(cfg.model.n_ques_types,
+                              cfg.model.d_model)).astype(np.float32)
+    v_bank = rng.normal(size=(cfg.model.n_categories,
+                              cfg.model.d_model)).astype(np.float32)
+    torch.save(torch.from_numpy(q_bank.copy()),
+               str(tmp_path / "Q_prototype.pt"))
+    torch.save(torch.from_numpy(v_bank.copy()),
+               str(tmp_path / "V_prototype.pt"))
+
+    trainer.test(ALL_TASKS[0], load=True)
+    got_q = np.asarray(jax.device_get(trainer.state.proto.q_proto))
+    np.testing.assert_allclose(got_q, q_bank, rtol=1e-6)
+
+
 def test_export_pth_cli(tmp_path, capsys):
     """npz checkpoint -> CLI export -> reference .pth -> re-ingest."""
     import jax
@@ -151,12 +236,16 @@ def test_export_pth_cli(tmp_path, capsys):
     params = jax.tree.map(np.asarray,
                           init_vlt5_params(jax.random.PRNGKey(3), cfg))
     proto = ProtoState.create(10, 80, cfg.d_model)
+    proto = proto._replace(q_proto=proto.q_proto + 1.0)  # non-empty bank
     npz = str(tmp_path / "q_recognition_LAST")
     save_checkpoint(npz, params, proto, step=11)
 
     out = str(tmp_path / "q_recognition_LAST.pth")
     export_main([npz, out])
-    assert "step 11" in capsys.readouterr().out
+    printed = capsys.readouterr().out
+    assert "step 11" in printed
+    # non-empty prototype banks trigger the not-carried-over notice
+    assert "prototype" in printed
 
     back = load_reference_pth(out, cfg)
     np.testing.assert_array_equal(

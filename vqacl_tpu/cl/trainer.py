@@ -558,6 +558,7 @@ class VQACLTrainer:
         if load:
             params, proto, _ = load_checkpoint(
                 os.path.join(self.cfg.output, f"{task}_LAST"))
+            proto = self._maybe_load_reference_protos(proto)
             self.state = self.state._replace(
                 params=self._place_params(params),
                 proto=replicate(self.ctx, proto))
@@ -579,6 +580,23 @@ class VQACLTrainer:
             for key in ("perQuestionType", "perAnswerType"):
                 if score.get(key):
                     self._log(f"     {key}: {score[key]}")
+
+    def _maybe_load_reference_protos(self, proto):
+        """Eval-only prototype ingest (vqacl.py:540-542): a reference
+        run saves its banks as ``Q_prototype.pt``/``V_prototype.pt``
+        (plain torch tensors) NEXT TO the ``{task}_LAST`` checkpoints,
+        because upstream prototypes never enter ``state_dict``. When
+        both files are present in ``cfg.output``, override the
+        checkpoint's banks with them — the last step of "evaluate a
+        reference-trained run on TPU". Our own checkpoints carry protos
+        inline, so absence of the ``.pt`` files is the normal case."""
+        qp = os.path.join(self.cfg.output, "Q_prototype.pt")
+        vp = os.path.join(self.cfg.output, "V_prototype.pt")
+        if os.path.exists(qp) and os.path.exists(vp):
+            from vqacl_tpu.models.hf_import import load_reference_prototypes
+            proto = load_reference_prototypes(proto, qp, vp)
+            self._log(f"loaded reference prototype banks from {qp}, {vp}")
+        return proto
 
     def Test(self) -> Dict:
         """Eval-only over the full sequence from saved per-task

@@ -39,9 +39,21 @@ def main(argv=None) -> None:
     ap.add_argument("out", help="output .pth path")
     a = ap.parse_args(argv)
 
-    params, _proto, step = load_checkpoint(a.checkpoint)
+    params, proto, step = load_checkpoint(a.checkpoint)
     cfg = _ShapeCfg(params)
     save_reference_pth(params, a.out, cfg)
+    try:
+        import numpy as np
+        nonempty = proto is not None and (
+            float(np.abs(np.asarray(proto.q_proto)).sum()) > 0
+            or float(np.abs(np.asarray(proto.v_proto)).sum()) > 0)
+    except Exception:
+        nonempty = False
+    if nonempty:
+        print("note: checkpoint contains non-empty prototype banks — "
+              "NOT carried into the .pth (the reference never saves "
+              "them in state_dict); use the Q/V_prototype.npy files "
+              "the trainer writes alongside checkpoints")
     print(f"wrote {a.out} (step {step}, enc {cfg.num_layers} / "
           f"dec {cfg.num_decoder_layers} layers)")
 

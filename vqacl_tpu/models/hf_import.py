@@ -133,10 +133,20 @@ def from_state_dict(sd: Mapping[str, Any], cfg,
 
 
 def load_t5_base(cfg, name_or_path: str = "t5-base") -> Params:
-    """Load HF t5-base weights (cached hub or local dir) → pytree."""
+    """Load HF t5-base weights (cached hub or local dir) → pytree.
+
+    Tries the local HF cache first so offline machines fail fast
+    instead of sitting through hub DNS retry/backoff cycles (observed:
+    ~minutes of hang per file on a no-egress box); the network path
+    only runs when the local lookup misses."""
     import transformers  # local import: torch only needed here
 
-    model = transformers.T5ForConditionalGeneration.from_pretrained(name_or_path)
+    try:
+        model = transformers.T5ForConditionalGeneration.from_pretrained(
+            name_or_path, local_files_only=True)
+    except Exception:
+        model = transformers.T5ForConditionalGeneration.from_pretrained(
+            name_or_path)
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     return from_state_dict(sd, cfg)
 
@@ -203,6 +213,10 @@ def to_state_dict(params: Params, cfg) -> Dict[str, np.ndarray]:
             sd[f"{pre}.layer_norm.weight"] = _a(vis["joint_ln"])
         if "img_order" in vis:
             sd[f"{pre}.img_order_embedding.weight"] = _a(vis["img_order"])
+        # reference VL-T5 ties obj_order_embedding to shared
+        # (modeling_t5_our.py:418) and the tied copy lands in its saved
+        # state_dicts; emit it for exact key parity on strict loads
+        sd[f"{pre}.obj_order_embedding.weight"] = shared
     return sd
 
 
@@ -212,9 +226,43 @@ def save_reference_pth(params: Params, path: str, cfg) -> None:
     :func:`load_reference_pth`)."""
     import torch
 
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # copy (not view) — to_state_dict can return read-only views of the
+    # checkpoint arrays; torch.from_numpy on those warns and would alias
+    # the checkpoint storage
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           for k, v in to_state_dict(params, cfg).items()}
     torch.save(sd, path)
+
+
+def load_reference_prototypes(proto, q_path: str, v_path: str):
+    """Ingest reference-trained prototype banks (``Q_prototype.pt`` /
+    ``V_prototype.pt``, plain ``torch.save``-d tensors — vqacl.py:420-426)
+    into a :class:`ProtoState`, the eval-only load of vqacl.py:540-542.
+
+    Returns ``proto`` with ``q_proto``/``v_proto`` replaced; the EMA
+    bookkeeping fields are untouched (the reference does not save them —
+    they only matter during training)."""
+    import torch
+
+    def _bank(path, want_shape, name):
+        t = torch.load(path, map_location="cpu")
+        arr = np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+        if arr.shape != tuple(want_shape):
+            raise ValueError(
+                f"{name} bank shape {arr.shape} != expected {want_shape} "
+                f"({path})")
+        return arr
+
+    q = _bank(q_path, proto.q_proto.shape, "Q_prototype")
+    v = _bank(v_path, proto.v_proto.shape, "V_prototype")
+    return proto._replace(q_proto=_like(proto.q_proto, q),
+                          v_proto=_like(proto.v_proto, v))
+
+
+def _like(ref, arr):
+    """numpy → same array namespace/dtype as ``ref`` (jnp or np)."""
+    import jax.numpy as jnp
+    return jnp.asarray(arr, dtype=ref.dtype)
 
 
 def load_reference_pth(path: str, cfg) -> Params:
