@@ -1,4 +1,4 @@
-"""Synthetic Table-1 surrogate: Vanilla/EWC/MAS vs ER vs Ours.
+"""Synthetic Table-1 surrogate: Vanilla/EWC/MAS vs ER/DER vs Ours.
 
 The reference's headline benchmark is quality (paper Table 1 — SURVEY
 §6): sequential finetuning forgets, parameter-importance regularizers
@@ -7,10 +7,16 @@ recovers most accuracy, and the prototype model ("Ours") beats ER on
 both final average accuracy (AP↑) and average forgetting (Forget↓).
 The real datasets don't exist in this environment, so this script
 reproduces the QUALITATIVE ordering end-to-end on synthetic data with
-real forgetting pressure: ``SyntheticDataModule(task_shift=1)`` maps
-the SAME visual category to a DIFFERENT answer under each task, so each
-task's training overwrites earlier mappings unless the learner retains
-them.
+real forgetting pressure:
+
+  - ``task_shift=1``: the SAME visual category maps to a DIFFERENT
+    answer under each task, so each task's training overwrites earlier
+    mappings unless the learner retains them;
+  - ``category_in_text=False``: the question does NOT name the
+    category, so answering requires identifying it from the VISUAL
+    features — the regime where the paper's V-prototype retrieval (a
+    nearest-class-mean signal appended to the encoder output) has a
+    mechanism to help, as in real VQA.
 
 All rows run the REAL pipeline — dual-level CL loop, group loaders,
 exemplar buffer, compiled train/eval steps, official VQA accuracy —
@@ -23,17 +29,25 @@ differing only in the framework's own switches:
   der      〃 + --cl_reg der                     (Table 1 "DER")
   ours     memory=True   use_prototype=True     (Table 1 "Ours")
 
-Writes ABLATION.md at the repo root plus one JSON line per row.
+Statistics: every row runs ``--repeats`` seeds (default 5); the table
+reports mean ± population std, and the "Claims checked" section is
+COMPUTED from the measured numbers (a claim passes only when the mean
+gap clears one combined std), so the document cannot assert an
+ordering the data doesn't show. Writes ABLATION.md at the repo root
+plus one JSON line per (row, seed).
 
-Usage: python scripts/ablation.py [--tasks 5] [--n_train 200]
-           [--epochs 2] [--m_size 100] [--seed 0] [--repeats 1]
+Usage: python scripts/ablation.py [--tasks 5] [--n_train 1000]
+           [--n_eval 500] [--epochs 3] [--m_size 500] [--seed 0]
+           [--repeats 5]
 """
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -82,25 +96,33 @@ def run_row(name: str, memory: bool, prototype: bool, a, seed: int,
     tok = VLT5Tokenizer()
     data = SyntheticDataModule(
         tok, tasks=ALL_TASKS[:a.tasks], n_train_per_task=a.n_train,
-        n_val_per_task=a.n_eval, n_test_per_task=a.n_eval,
+        n_val_per_task=min(a.n_eval, 64), n_test_per_task=a.n_eval,
         feat_dim=cfg.model.feat_dim, n_boxes=cfg.model.n_boxes,
-        answer_vocab=a.answer_vocab, seed=seed, task_shift=1)
+        answer_vocab=a.answer_vocab, seed=seed, task_shift=1,
+        category_in_text=False)
     trainer = VQACLTrainer(cfg, data, tok, verbose=False,
                            dtype=jnp.float32)
     metrics = trainer.train()
     return {"row": name, "memory": memory, "prototype": prototype,
             "cl_reg": cl_reg, "seed": seed,
-            "Avg_acc": round(metrics["Avg_acc"], 2),
-            "Avg_forget": round(metrics["Avg_forget"], 2)}
+            "Avg_acc": round(metrics["Avg_acc"], 3),
+            "Avg_forget": round(metrics["Avg_forget"], 3)}
+
+
+def _stats(xs):
+    m = sum(xs) / len(xs)
+    var = sum((x - m) ** 2 for x in xs) / len(xs)
+    return m, math.sqrt(var)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tasks", type=int, default=5)
-    ap.add_argument("--n_train", type=int, default=200)
-    ap.add_argument("--n_eval", type=int, default=32)
-    ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--m_size", type=int, default=100)
+    ap.add_argument("--n_train", type=int, default=1000)
+    ap.add_argument("--n_eval", type=int, default=500,
+                    help="test QA per task (quantization = 100/n_eval %%)")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--m_size", type=int, default=500)
     ap.add_argument("--answer_vocab", type=int, default=4)
     ap.add_argument("--ewc_lambda", type=float, default=100.0)
     ap.add_argument("--mas_lambda", type=float, default=1.0)
@@ -109,8 +131,8 @@ def main() -> None:
     ap.add_argument("--rows", default=None,
                     help="comma list to run a subset (e.g. ewc,mas)")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--repeats", type=int, default=1,
-                    help="seeds per row (mean reported)")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="seeds per row (mean ± std reported)")
     ap.add_argument("--out", default="/tmp/ablation")
     ap.add_argument("--md", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -119,52 +141,107 @@ def main() -> None:
 
     rows = ROWS if not a.rows else \
         [r for r in ROWS if r[0] in a.rows.split(",")]
-    results = []
+    results = {}
     for name, sw in rows:
         accs, fgts = [], []
         for r in range(a.repeats):
+            t0 = time.time()
             res = run_row(name, sw["memory"], sw["prototype"], a,
                           seed=a.seed + r, cl_reg=sw.get("cl_reg", "none"))
+            res["wall_s"] = round(time.time() - t0, 1)
             print(json.dumps(res), flush=True)
             accs.append(res["Avg_acc"])
             fgts.append(res["Avg_forget"])
-        results.append((name, sw, sum(accs) / len(accs),
-                        sum(fgts) / len(fgts)))
+        results[name] = (sw, accs, fgts)
 
     if rows != ROWS:
         print("(subset run — ABLATION.md not rewritten)")
         return
+
+    # ---- computed claim checks (the doc can't drift from the data) ----
+    def mean_std(name):
+        _, accs, fgts = results[name]
+        return _stats(accs), _stats(fgts)
+
+    def separated(hi, lo):
+        """mean(hi) > mean(lo) with the gap clearing 1 combined std."""
+        return hi[0] - lo[0] > hi[1] + lo[1]
+
+    claims = []
+
+    def claim(text, ok):
+        claims.append((text, ok))
+
+    (ap_ours, fg_ours) = mean_std("ours")
+    (ap_van, fg_van) = mean_std("vanilla")
+    (ap_er, fg_er) = mean_std("er")
+    claim("Ours beats Vanilla on AP (gap > 1 combined σ)",
+          separated(ap_ours, ap_van))
+    claim("Ours beats Vanilla on Forget (gap > 1 combined σ)",
+          separated(fg_van, fg_ours))
+    claim("Ours beats ER on AP (gap > 1 combined σ)",
+          separated(ap_ours, ap_er))
+    claim("Ours beats ER on Forget (gap > 1 combined σ)",
+          separated(fg_er, fg_ours))
+    claim("Replay (ER) beats Vanilla on AP (gap > 1 combined σ)",
+          separated(ap_er, ap_van))
+    claim("Ours has the best mean AP of all rows",
+          all(ap_ours[0] >= mean_std(n)[0][0] for n in results))
+    claim("Ours has the best mean Forget of all rows",
+          all(fg_ours[0] <= mean_std(n)[1][0] for n in results))
+
+    n_cells = a.tasks * (a.tasks + 1) // 2
     lines = [
         "# Synthetic Table-1 surrogate (qualitative ordering check)",
         "",
         "Real Table-1 data is unavailable in this environment; this runs",
         "the FULL pipeline (dual-level CL loop, exemplar buffer, EWC/MAS",
         "consolidation, DER logit capture+distillation, compiled",
-        "train/eval, official VQA accuracy) on",
-        "synthetic data with task-dependent answer mappings",
-        "(`SyntheticDataModule(task_shift=1)`) so sequential finetuning",
-        "actually forgets. The paper's qualitative claims (BASELINE.md",
-        "Table 1) checked here: every method beats Vanilla on Forget,",
-        "Ours has the best Forget and the best AP, and the",
-        "importance-regularized rows trade plasticity for retention.",
-        "Row-to-row AP gaps between the middle methods are within this",
-        "surrogate's noise (accuracy quantized at ~1.6% per test cell,",
-        "2 seeds). Produced by `python scripts/ablation.py`.",
+        "train/eval, official VQA accuracy) on synthetic data with",
+        "task-dependent answer mappings (`task_shift=1`) so sequential",
+        "finetuning actually forgets, and with the category visible ONLY",
+        "in the visual features (`category_in_text=False`) so prototype",
+        "retrieval has signal to add. Produced by",
+        "`python scripts/ablation.py`; the claim checks below are",
+        "COMPUTED from the measured numbers at generation time.",
         "",
-        f"Config: {a.tasks} tasks x {a.n_train} train QA, epochs "
-        f"{a.epochs}, M={a.m_size}, λ_EWC={a.ewc_lambda:g}, "
+        f"Config: {a.tasks} tasks × {a.n_train} train QA, epochs "
+        f"{a.epochs}, M={a.m_size}, {a.n_eval} test QA/task "
+        f"({n_cells} matrix cells, quantization "
+        f"{100.0 / a.n_eval:.2f}%), λ_EWC={a.ewc_lambda:g}, "
         f"λ_MAS={a.mas_lambda:g}, α_DER={a.der_alpha:g}, tiny model, "
-        f"{a.repeats} seed(s), task_shift=1.",
+        f"{a.repeats} seeds, task_shift=1, category_in_text=False.",
         "",
         "| row | replay | prototypes | reg | AP (Avg_acc) ↑ | Forget ↓ |",
         "|---|---|---|---|---|---|",
     ]
-    for name, sw, acc, fgt in results:
-        lines.append(f"| {name} | {'✓' if sw['memory'] else '—'} | "
-                     f"{'✓' if sw['prototype'] else '—'} | "
-                     f"{sw.get('cl_reg', '—') if sw.get('cl_reg') else '—'} | "
-                     f"{acc:.2f} | {fgt:.2f} |")
-    lines.append("")
+    for name, _ in ROWS:
+        sw, accs, fgts = results[name]
+        (am, asd), (fm, fsd) = _stats(accs), _stats(fgts)
+        lines.append(
+            f"| {name} | {'✓' if sw['memory'] else '—'} | "
+            f"{'✓' if sw['prototype'] else '—'} | "
+            f"{sw.get('cl_reg', '—') if sw.get('cl_reg') else '—'} | "
+            f"{am:.2f} ± {asd:.2f} | {fm:.2f} ± {fsd:.2f} |")
+    lines += ["", "## Claims checked (paper Table 1 ordering, "
+                  "BASELINE.md)", ""]
+    for text, ok in claims:
+        lines.append(f"- {'PASS' if ok else 'FAIL'}: {text}")
+    n_pass = sum(1 for _, ok in claims if ok)
+    lines += [
+        "",
+        f"{n_pass}/{len(claims)} claims hold at this scale. "
+        + ("All headline orderings reproduce with separated error bars."
+           if n_pass == len(claims) else
+           "FAILed rows are within this surrogate's noise at "
+           f"{a.repeats} seeds — the surrogate demonstrates the "
+           "mechanism end-to-end but cannot separate those pairs; "
+           "treat them as 'not distinguished', not 'contradicted'."),
+        "",
+        "Per-seed values: see the JSON lines in the generation log "
+        "(scripts/ablation.py prints one per row × seed).",
+        "",
+    ]
     with open(a.md, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {a.md}")

@@ -35,7 +35,8 @@ class SyntheticDataModule:
                  n_boxes: int = 36, n_categories: int = 80,
                  answer_vocab: int = 8, seed: int = 0,
                  n_images: Optional[int] = None,
-                 task_shift: int = 0):
+                 task_shift: int = 0,
+                 category_in_text: bool = True):
         """``n_images``: size of the shared image pool (None → one image
         per question). Real VQA v2 has ~7 questions/image; a bounded
         pool keeps large-scale soaks within host/HBM budgets.
@@ -47,7 +48,16 @@ class SyntheticDataModule:
         retains them (replay / prototypes). This is the forgetting
         pressure of the real VQACL protocol in miniature; the default 0
         keeps the task-agnostic easy mapping for smoke tests. The task
-        identity is learnable from the question's leading words."""
+        identity is learnable from the question's leading words.
+
+        ``category_in_text``: when True (default, smoke-test mode) the
+        question text names the image's category, so the answer is
+        readable off the text alone. The Table-1 surrogate sets False:
+        the category is then only recoverable from the VISUAL features,
+        which is the regime where the paper's V-prototype retrieval
+        (a nearest-class-mean signal appended to the encoder output)
+        has a mechanism to help — mirroring real VQA, where the
+        question never names the object."""
         self.tok = tokenizer
         self.tasks = list(tasks)
         self.feat_dim = feat_dim
@@ -96,11 +106,14 @@ class SyntheticDataModule:
                     # task_shift != 0 the mapping is task-DEPENDENT
                     ans = f"ans{(c + t_idx * task_shift) % answer_vocab}"
                     self.ques_map[str(qid)] = t_idx
+                    sent = (f"{_Q_WORDS[t_idx % len(_Q_WORDS)]} is the "
+                            f"object category {c}" if category_in_text
+                            else f"{_Q_WORDS[t_idx % len(_Q_WORDS)]} is "
+                                 f"the object in the image")
                     items.append({
                         "img_id": img_id,
                         "question_id": qid,
-                        "sent": f"{_Q_WORDS[t_idx % len(_Q_WORDS)]} is the "
-                                f"object category {c}",
+                        "sent": sent,
                         "label": {ans: 1.0},
                         "answers": [{"answer": ans}] * 10,
                         "question_type": task,
