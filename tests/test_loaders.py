@@ -119,3 +119,55 @@ def test_multihost_single_process_noops():
     barrier()
     assert all_gather_object({"a": 1}) == [{"a": 1}]
     assert merge_quesid2ans({1: "yes"}) == {1: "yes"}
+
+
+def test_parallel_loader_matches_serial_eval_mode():
+    """num_workers>1 yields identical batches in identical order when no
+    sampling is involved (eval mode: argmax answer selection)."""
+    ds, _ = make_dataset(n=37)
+    ds.mode = "val"
+    serial = BatchLoader(ds, np.arange(37), batch_size=8, shuffle=True,
+                         seed=3, prefetch=False)
+    par = BatchLoader(ds, np.arange(37), batch_size=8, shuffle=True,
+                      seed=3, num_workers=4)
+    for a, b in zip(list(serial), list(par)):
+        for k in a["tensors"]:
+            np.testing.assert_array_equal(a["tensors"][k], b["tensors"][k])
+        assert a["meta"]["question_ids"] == b["meta"]["question_ids"]
+
+
+def test_parallel_loader_worker_count_invariant_sampling():
+    """Train-mode answer sampling is per-example-seeded: 2 and 4 workers
+    (and epochs replayed) give identical sampled targets."""
+    rng = np.random.default_rng(1)
+    store = MemoryFeatureStore()
+    items, cate_map, ques_map = [], {}, {}
+    for i in range(30):
+        img = f"img{i}"
+        store.put(img, rng.normal(size=(36, 2048)).astype(np.float32),
+                  rng.uniform(0, 1, (36, 4)).astype(np.float32))
+        cate_map[img] = int(rng.integers(0, 80))
+        ques_map[str(i)] = i % 10
+        items.append({"img_id": img, "question_id": i,
+                      "sent": f"question {i}",
+                      "label": {"yes": 0.4, "no": 0.3, "maybe": 0.3}})
+    tok = VLT5Tokenizer()
+    ds = VQAPartitionDataset(items, tok, store, ques_map, cate_map,
+                             mode="train", seed=11)
+    outs = []
+    for nw in (2, 4):
+        loader = BatchLoader(ds, np.arange(30), batch_size=8, shuffle=True,
+                             seed=5, num_workers=nw)
+        outs.append([b["tensors"]["target_ids"].copy() for b in loader])
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_parallel_loader_propagates_worker_errors():
+    ds, _ = make_dataset(n=16)
+    ds.data[9] = {"img_id": "MISSING", "question_id": 9, "sent": "q"}
+    loader = BatchLoader(ds, np.arange(16), batch_size=4, shuffle=False,
+                         num_workers=3)
+    import pytest
+    with pytest.raises(Exception):
+        list(loader)

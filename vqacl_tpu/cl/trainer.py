@@ -399,22 +399,24 @@ class VQACLTrainer:
 
         bs = cfg.train.batch_size
         vbs = cfg.train.valid_batch_size
+        nw = self._loader_workers()
         train_loaders = group_loaders(train_ds, bs, shuffle=True,
                                       seed=cfg.train.seed,
                                       collate_kw=self._ck(),
-                                      splits=self.splits)
+                                      splits=self.splits, num_workers=nw)
         val_loaders = group_loaders(val_ds, vbs, shuffle=False,
                                     with_targets=True, collate_kw=self._ck(),
-                                    splits=self.splits)
+                                    splits=self.splits, num_workers=nw)
         mem_ds = self._slotify(self.data.make_dataset(mem_items,
                                                       mode="train",
                                                       task_idx=task_idx))
         mem_loaders = group_loaders(mem_ds, bs, shuffle=True,
                                     seed=cfg.train.seed + 7,
                                     collate_kw=self._ck(),
-                                    splits=self.splits)
+                                    splits=self.splits, num_workers=nw)
         self.test_loader_dict_all[task] = all_loader(
-            test_ds_all, vbs, with_targets=False, collate_kw=self._ck())
+            test_ds_all, vbs, with_targets=False, collate_kw=self._ck(),
+            num_workers=nw)
 
         self.state = self.state._replace(
             proto=self.state.proto.start_task(task_idx))
@@ -621,6 +623,16 @@ class VQACLTrainer:
             f.write(json.dumps(
                 {"result_matrix": self.result_matrix.to_dict()},
                 default=float) + "\n")
+
+    def _loader_workers(self) -> int:
+        """Host-fed loaders get the reference's DataLoader worker
+        parallelism (vqa_data_memory.py:880, ``--num_workers`` default
+        4: h5 reads + tokenize overlap across threads). With the HBM
+        feature cache the batch is a handful of int32 arrays — worker
+        threads only add scheduling noise, so stay serial."""
+        if self._cache is not None:
+            return 1
+        return int(getattr(self.cfg.data, "n_workers", 1))
 
     def _ck(self) -> Dict:
         m = self.cfg.model

@@ -49,11 +49,17 @@ class H5FeatureStore:
 
     def __init__(self, sources: Mapping[str, str],
                  cache_items: int = 100_000, n_boxes: int = 36):
+        import threading
         self.sources = dict(sources)
         self._files: Dict[str, object] = {}
         self._cache: OrderedDict = OrderedDict()
         self.cache_items = cache_items
         self.n_boxes = n_boxes
+        # multi-worker BatchLoader calls get() concurrently: the LRU
+        # OrderedDict mutates on every hit and libhdf5 is not built
+        # thread-safe — one lock serializes the store while the workers
+        # overlap tokenize/collate with each other's feature reads
+        self._lock = threading.Lock()
 
     def _file(self, source: str):
         if source not in self._files:
@@ -71,24 +77,25 @@ class H5FeatureStore:
         raise KeyError(f"cannot route {img_id} to a feature source")
 
     def get(self, img_id: str) -> Tuple[np.ndarray, np.ndarray]:
-        hit = self._cache.get(img_id)
-        if hit is not None:
-            self._cache.move_to_end(img_id)
-            return hit
-        f = self._file(self._route(img_id))
-        g = f[img_id]
-        feats = np.asarray(g["features"], np.float32)
-        boxes = np.asarray(g["boxes"], np.float32)
-        img_h = float(np.asarray(g["img_h"]))
-        img_w = float(np.asarray(g["img_w"]))
-        boxes[:, (0, 2)] /= img_w
-        boxes[:, (1, 3)] /= img_h
-        boxes = np.clip(boxes, 0.0, 1.0)
-        out = (feats, boxes)
-        self._cache[img_id] = out
-        if len(self._cache) > self.cache_items:
-            self._cache.popitem(last=False)
-        return out
+        with self._lock:
+            hit = self._cache.get(img_id)
+            if hit is not None:
+                self._cache.move_to_end(img_id)
+                return hit
+            f = self._file(self._route(img_id))
+            g = f[img_id]
+            feats = np.asarray(g["features"], np.float32)
+            boxes = np.asarray(g["boxes"], np.float32)
+            img_h = float(np.asarray(g["img_h"]))
+            img_w = float(np.asarray(g["img_w"]))
+            boxes[:, (0, 2)] /= img_w
+            boxes[:, (1, 3)] /= img_h
+            boxes = np.clip(boxes, 0.0, 1.0)
+            out = (feats, boxes)
+            self._cache[img_id] = out
+            if len(self._cache) > self.cache_items:
+                self._cache.popitem(last=False)
+            return out
 
     def __contains__(self, img_id: str) -> bool:
         try:

@@ -69,6 +69,7 @@ class VQAPartitionDataset:
         self.L = max_text_length
         self.T = target_max_length
         self.mode = mode
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.task_idx = task_idx
         self.answer_normalize = answer_normalize
@@ -79,7 +80,14 @@ class VQAPartitionDataset:
     def __len__(self) -> int:
         return len(self.data)
 
-    def example(self, i: int) -> Dict[str, Any]:
+    def example(self, i: int,
+                rng: Optional[np.random.Generator] = None) -> Dict[str, Any]:
+        """``rng``: answer-sampling stream override. The serial loader
+        uses the dataset's shared stream (byte-stable across rounds);
+        the multi-worker loader passes a per-example generator so the
+        sampled answers are independent of worker count and schedule."""
+        if rng is None:
+            rng = self.rng
         d = self.data[i]
         img_id = d["img_id"]
         sent = d.get("sent", d.get("question"))
@@ -108,7 +116,7 @@ class VQAPartitionDataset:
             elif self.mode == "train":
                 # score-weighted multinomial (vqa_data_memory.py:268-276)
                 p = np.asarray(scores, np.float64) / ssum
-                choice = int(self.rng.choice(len(answers), p=p))
+                choice = int(rng.choice(len(answers), p=p))
                 answer, score = answers[choice], float(scores[choice])
             else:
                 choice = int(np.argmax(scores))
@@ -156,12 +164,25 @@ def split_by_group(dataset: VQAPartitionDataset,
 class BatchLoader:
     """Static-shape batch iterator over a set of example indices, with a
     one-deep background prefetch thread (overlaps h5 reads + tokenize
-    with device compute)."""
+    with device compute).
+
+    ``num_workers > 1`` is the TPU answer to the reference's
+    ``DataLoader(num_workers=4)`` (vqa_data_memory.py:880): N threads
+    build whole batches concurrently (h5py releases the GIL during
+    reads, so feature IO genuinely overlaps) and a reorder buffer
+    yields them in deterministic batch order. Answer sampling in this
+    mode draws from a per-example generator seeded by
+    (dataset seed, epoch, example index) — reproducible and invariant
+    to worker count/schedule, unlike the serial path's shared stream
+    (both are valid score-weighted multinomials; the reference's torch
+    workers have the same property). ``num_workers <= 1`` keeps the
+    original single-producer behavior byte-for-byte."""
 
     def __init__(self, dataset: VQAPartitionDataset, indices: Sequence[int],
                  batch_size: int, shuffle: bool = True, seed: int = 0,
                  with_targets: bool = True, drop_last: bool = False,
-                 collate_kw: Optional[Dict] = None, prefetch: bool = True):
+                 collate_kw: Optional[Dict] = None, prefetch: bool = True,
+                 num_workers: int = 1):
         self.dataset = dataset
         self.indices = np.asarray(indices, np.int64)
         self.batch_size = batch_size
@@ -171,6 +192,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.collate_kw = collate_kw or {}
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -184,9 +206,7 @@ class BatchLoader:
         return len(self.indices)
 
     def _make_batches(self) -> Iterator[Dict]:
-        order = self.indices.copy()
-        if self.shuffle:
-            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        order = self._batch_order()
         for s in range(0, len(order), self.batch_size):
             idx = order[s:s + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
@@ -195,8 +215,80 @@ class BatchLoader:
             yield collate(exs, pad_to_batch=self.batch_size,
                           with_targets=self.with_targets, **self.collate_kw)
 
+    def _batch_order(self) -> np.ndarray:
+        order = self.indices.copy()
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        return order
+
+    def _build_batch(self, order: np.ndarray, start: int) -> Dict:
+        """One collated batch from ``order[start:start+bs]`` with
+        per-example RNG (multi-worker path)."""
+        idx = order[start:start + self.batch_size]
+        exs = [self.dataset.example(
+                   int(i),
+                   rng=np.random.default_rng(
+                       (self.dataset.seed, self._epoch, int(i))))
+               for i in idx]
+        return collate(exs, pad_to_batch=self.batch_size,
+                       with_targets=self.with_targets, **self.collate_kw)
+
+    def _iter_parallel(self) -> Iterator[Dict]:
+        order = self._batch_order()
+        n = len(order)
+        starts = list(range(0, n, self.batch_size))
+        if self.drop_last and starts and n - starts[-1] < self.batch_size:
+            starts.pop()
+        n_batches = len(starts)
+        next_ticket = [0]
+        ticket_lock = threading.Lock()
+        done: Dict[int, Any] = {}
+        cond = threading.Condition()
+        failure: list = []
+        # workers stay ≤ 2·num_workers batches ahead of the consumer
+        window = threading.Semaphore(self.num_workers * 2)
+
+        def worker():
+            while True:
+                window.acquire()
+                with ticket_lock:
+                    b = next_ticket[0]
+                    if b >= n_batches or failure:
+                        window.release()
+                        return
+                    next_ticket[0] = b + 1
+                try:
+                    batch = self._build_batch(order, starts[b])
+                except BaseException as e:
+                    with cond:
+                        failure.append(e)
+                        cond.notify_all()
+                    return
+                with cond:
+                    done[b] = batch
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(min(self.num_workers, max(n_batches, 1)))]
+        for t in threads:
+            t.start()
+        for b in range(n_batches):
+            with cond:
+                while b not in done and not failure:
+                    cond.wait()
+                if failure:
+                    raise failure[0]
+                batch = done.pop(b)
+            window.release()
+            yield batch
+        if failure:
+            raise failure[0]
+
     def __iter__(self) -> Iterator[Dict]:
         self._epoch += 1
+        if self.num_workers > 1:
+            yield from self._iter_parallel()
+            return
         if not self.prefetch:
             yield from self._make_batches()
             return
