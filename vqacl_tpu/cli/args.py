@@ -9,6 +9,7 @@ subset) with the same spellings, so reference launch commands translate
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Optional, Sequence
 
 from vqacl_tpu.utils.config import Config
@@ -142,9 +143,24 @@ def install_cli_runtime(cli) -> None:
       emergency checkpoint before exiting (cl/trainer.py);
     - ``--platform`` backend override BEFORE any jax device use (the
       JAX_PLATFORMS env var is ignored by some TPU plugins; only
-      jax.config works).
+      jax.config works);
+    - persistent compilation cache (repo-local default): the tunneled
+      TPU compile service takes minutes per cold program — reruns of
+      the same CLI invocation should pay it once.
     """
     import signal
+
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(os.path.dirname(
+                                   os.path.dirname(os.path.abspath(__file__)))),
+                                   ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
     def _graceful_term(signum, frame):
         raise SystemExit(143)

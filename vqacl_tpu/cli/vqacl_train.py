@@ -39,7 +39,11 @@ def main(argv=None) -> None:
     dtype = jnp.bfloat16 if cfg.mesh.dtype == "bfloat16" else jnp.float32
 
     init_params = None
-    if not cfg.train.from_scratch and cfg.backbone:
+    # --tiny_model never loads the t5-base backbone: the shapes cannot
+    # match, and on an offline box the hub lookup hangs through minutes
+    # of DNS retry/backoff before failing
+    if not cfg.train.from_scratch and cfg.backbone \
+            and not getattr(cli, "tiny_model", False):
         from vqacl_tpu.models.hf_import import load_t5_base
         try:
             init_params = load_t5_base(cfg.model, cfg.backbone)
