@@ -150,13 +150,17 @@ def main() -> None:
                      max_text_length=m.max_text_length,
                      target_max_length=m.target_max_length)["tensors"]
     vbatch = {k: jnp.asarray(v) for k, v in vbatch.items()}
-    toks = eval_step(state.params, state.proto, vbatch)   # compile
+    # pre-cast the weights once, as the production eval loop does
+    # (cl/trainer.py::predict): params are constant across an eval epoch
+    from vqacl_tpu.models.vlt5 import cast_params_for_inference
+    eval_params = cast_params_for_inference(state.params, jnp.bfloat16)
+    toks = eval_step(eval_params, state.proto, vbatch)   # compile
     int(np.asarray(toks)[0, 0])
     dec_dts = []
     for _ in range(n_chunks):
         t0 = time.perf_counter()
         for _ in range(chunk):
-            toks = eval_step(state.params, state.proto, vbatch)
+            toks = eval_step(eval_params, state.proto, vbatch)
         _ = int(np.asarray(toks)[0, 0])             # sync barrier
         dec_dts.append((time.perf_counter() - t0) / chunk)
     dt_dec = min(dec_dts)

@@ -317,3 +317,28 @@ def test_grad_accum_rejects_indivisible_batch():
     step = make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
     with pytest.raises(ValueError, match="divisible"):
         step(state, batch)
+
+
+def test_precast_params_inference_parity(trained):
+    """cast_params_for_inference must be a pure no-op on eval numerics:
+    the compiled step casts every matmul weight to the compute dtype at
+    its use site anyway, so pre-cast bf16 params → bit-identical tokens
+    (and the f32-consumed LayerNorm/rel_bias leaves must stay f32)."""
+    from vqacl_tpu.models.vlt5 import cast_params_for_inference
+
+    cfg, state, data, _ = trained
+    eval_step = make_eval_step(cfg, dtype=jnp.bfloat16)
+    batch = next(data.batches(16, seed=7))["tensors"]
+
+    cast = cast_params_for_inference(state.params, jnp.bfloat16)
+    # structure: LN/rel_bias stay f32, projection weights narrow
+    assert cast["encoder"]["final_ln"].dtype == jnp.float32
+    assert cast["encoder"]["rel_bias"].dtype == jnp.float32
+    assert cast["encoder"]["block_0"]["ln1"].dtype == jnp.float32
+    assert cast["encoder"]["block_0"]["attn"]["wq"].dtype == jnp.bfloat16
+    assert cast["shared"].dtype == jnp.bfloat16
+    assert cast["visual_embedding"]["feat_ln"].dtype == jnp.float32
+
+    t_f32 = np.asarray(eval_step(state.params, state.proto, batch))
+    t_cast = np.asarray(eval_step(cast, state.proto, batch))
+    np.testing.assert_array_equal(t_f32, t_cast)

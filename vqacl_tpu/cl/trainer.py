@@ -522,7 +522,17 @@ class VQACLTrainer:
 
         Software-pipelined: batch i+1's decode is dispatched before batch
         i's tokens are pulled to host, hiding the device→host transfer
-        (which pays a full tunnel RTT here) behind compute."""
+        (which pays a full tunnel RTT here) behind compute.
+
+        Params are pre-cast to the compute dtype ONCE per predict() call
+        (`cast_params_for_inference`): they don't change across the
+        loader, and an f32-param eval step re-materializes the bf16
+        weight copies every batch (~1.3 GB of cast traffic at t5-base).
+        Bit-identical outputs."""
+        from vqacl_tpu.models.vlt5 import cast_params_for_inference
+        params = self.state.params
+        if self.dtype == jnp.bfloat16:
+            params = cast_params_for_inference(params, self.dtype)
         quesid2ans: Dict[Any, str] = {}
         pending = None  # (device tokens, meta)
 
@@ -535,7 +545,7 @@ class VQACLTrainer:
                 quesid2ans[qid] = ans
 
         for batch in loader:
-            tokens = self.eval_step(self.state.params, self.state.proto,
+            tokens = self.eval_step(params, self.state.proto,
                                     shard_batch(self.ctx, batch["tensors"]))
             if pending is not None:
                 drain(pending)

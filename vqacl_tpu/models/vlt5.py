@@ -41,6 +41,39 @@ def init_vlt5_params(rng, cfg) -> Params:
     return params
 
 
+# leaves the compute path consumes in f32 (layer_norm upcasts its weight;
+# the relative bias is gathered f32) — pre-casting these would CHANGE
+# numerics, everything else is `.astype(compute_dtype)`-ed at its use
+# site anyway
+_F32_LEAVES = frozenset({
+    "ln1", "ln2", "ln3", "final_ln", "rel_bias",
+    "feat_ln", "pos_ln", "joint_ln",
+})
+
+
+def cast_params_for_inference(params: Params,
+                              dtype=jnp.bfloat16) -> Params:
+    """Pre-cast the matmul weights to the compute dtype ONCE.
+
+    Every projection/MLP/embedding weight is consumed through
+    ``W.astype(compute_dtype)`` inside the compiled programs, so a jitted
+    eval step called with f32 params re-materializes a ~0.45 GB bf16
+    copy of the model EVERY call (~1.3 GB of cast traffic at t5-base).
+    Params don't change across an eval epoch — casting once here and
+    passing the result makes those casts no-ops while producing
+    bit-identical outputs (``bf16(W)`` is the same array either way;
+    the f32-consumed leaves above are left untouched). Use for
+    eval/serving only — training must keep f32 master params."""
+    def leaf(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in _F32_LEAVES or not jnp.issubdtype(x.dtype,
+                                                     jnp.floating):
+            return x
+        return x.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------

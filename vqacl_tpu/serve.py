@@ -48,6 +48,12 @@ class VQAPredictor:
         traffic drops from ~MB of features to bytes of indices — same
         tiering the trainer uses (``--device_cache``)."""
         self.cfg = cfg
+        if dtype == jnp.bfloat16:
+            # weights are static for the predictor's lifetime: pre-cast
+            # once so the compiled step skips the per-call f32→bf16
+            # weight copies (bit-identical outputs)
+            from vqacl_tpu.models.vlt5 import cast_params_for_inference
+            params = cast_params_for_inference(params, dtype)
         self.params = params
         self.proto = proto
         self.tok = tokenizer
