@@ -22,8 +22,11 @@ import numpy as np
 from jax import lax
 
 B, S, D, F, H, dk = 80, 56, 768, 3072, 12, 64
-K = 32           # in-program repetitions
-PEAK = 394e12    # v5e bf16
+K = int(os.environ.get("MM_K", "32"))   # in-program repetitions
+PEAK = 197e12    # v5e (TPU v5 lite) bf16 peak — 394 is the INT8 TOPS
+                 # figure; earlier rounds normalized MXU% against it,
+                 # understating utilization 2x (BENCH_NOTES "r4 peak
+                 # correction")
 
 
 def bench(make_step, flops_per_rep, reps=6):
@@ -75,6 +78,83 @@ def main():
         lambda i: jnp.sum(jnp.einsum("btd,btf->df", perturb(x, i), dh,
                                      preferred_element_type=jnp.float32)),
         2 * B * S * D * F)
+
+    # ---- dW variants (the step trace's ~39% MXU item: 24 of these
+    # per step at 133 us each; which formulation is fastest?) ----
+    x2 = x.reshape(B * S, D)
+    dh2 = dh.reshape(B * S, F)
+
+    cases["mlp_wi dW 2d dot_general k=dim0"] = scan_case(
+        lambda i: jnp.sum(lax.dot_general(
+            perturb(x2, i), dh2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)),
+        2 * B * S * D * F)
+
+    def dw_splitk(i, parts=4):
+        xx = perturb(x2, i)
+        kc = (B * S) // parts
+        acc = jnp.zeros((D, F), jnp.float32)
+        for p in range(parts):
+            acc = acc + lax.dot_general(
+                xx[p * kc:(p + 1) * kc], dh2[p * kc:(p + 1) * kc],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return jnp.sum(acc)
+    cases["mlp_wi dW split-K x4 (XLA)"] = scan_case(
+        lambda i: dw_splitk(i), 2 * B * S * D * F)
+
+    cases["mlp_wi dW pre-transposed [768,4480]@"] = scan_case(
+        lambda i: jnp.sum(
+            perturb(x2, i).T @ dh2).astype(jnp.float32),
+        2 * B * S * D * F)
+
+    cases["mlp_wi dW + gnorm epilogue"] = scan_case(
+        lambda i: jnp.sum(jnp.square(jnp.einsum(
+            "btd,btf->df", perturb(x, i), dh,
+            preferred_element_type=jnp.float32))),
+        2 * B * S * D * F)
+
+    # Pallas dW: K-sliced accumulation, out tile resident in VMEM
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def dw_kernel(x_ref, g_ref, o_ref):
+        k = pl.program_id(1)
+        acc = lax.dot_general(x_ref[:], g_ref[:], (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = acc
+
+        @pl.when(k != 0)
+        def _():
+            o_ref[:] = o_ref[:] + acc
+
+    def pallas_dw(xx, gg, nt=3, kt=4):
+        KK = xx.shape[0]
+        kc, nc = KK // kt, F // nt
+        return pl.pallas_call(
+            dw_kernel,
+            grid=(nt, kt),
+            in_specs=[
+                pl.BlockSpec((kc, D), lambda n, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kc, nc), lambda n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((D, nc), lambda n, k: (0, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((D, F), jnp.float32),
+        )(xx, gg)
+
+    if jax.devices()[0].platform != "cpu":
+        cases["mlp_wi dW pallas splitK 3x4"] = scan_case(
+            lambda i: jnp.sum(pallas_dw(perturb(x2, i), dh2)),
+            2 * B * S * D * F)
+        cases["mlp_wi dW pallas splitK 6x8"] = scan_case(
+            lambda i: jnp.sum(pallas_dw(perturb(x2, i), dh2, nt=6, kt=8)),
+            2 * B * S * D * F)
 
     cases["attn proj [4480,768]x[768,768]"] = scan_case(
         lambda i: jnp.sum(perturb(x, i) @ wq).astype(jnp.float32),

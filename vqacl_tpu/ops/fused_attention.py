@@ -139,6 +139,71 @@ def _fwd_kernel_save_p(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref,
                 H=H, dk=dk, L=L, dropout_rate=dropout_rate, p_ref=p_ref)
 
 
+def _stack_heads(f: jnp.ndarray, H: int, dk: int) -> jnp.ndarray:
+    """[S, H·dk] → [H, S, dk] as a stack of head panels (Mosaic has no
+    lane-splitting shape cast; panel slices relayout fine)."""
+    return jnp.stack([f[:, h * dk:(h + 1) * dk] for h in range(H)], axis=0)
+
+
+def _concat_heads(x: jnp.ndarray, H: int) -> jnp.ndarray:
+    """[H, S, dk] → [S, H·dk]."""
+    return jnp.concatenate([x[h] for h in range(H)], axis=1)
+
+
+def _keep_masks(seed, b, H, shape, rate):
+    """The fwd/bwd-shared per-(b,h) dropout streams, stacked [H,·,·]."""
+    return jnp.stack([_dropout_mask(seed, b, h, H, shape, rate)
+                      for h in range(H)], axis=0)
+
+
+def _fwd_kernel_batched(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref,
+                        o_ref, *, H, dk, L, dropout_rate, p_ref=None):
+    """Head-batched forward: same math as ``_fwd_kernel`` but the 2·H
+    per-head dots become 2 head-batched ``dot_general`` calls, which
+    Mosaic pipelines as one MXU op sequence (measured faster than the
+    serial per-head loop at the encoder geometry — attn_kernel_probe)."""
+    b = pl.program_id(0)
+    q = _stack_heads(q_ref[0], H, dk).astype(jnp.float32)   # [H,Tq,dk]
+    k = _stack_heads(k_ref[0], H, dk).astype(jnp.float32)
+    v = _stack_heads(v_ref[0], H, dk)
+    Tq, Sk = q.shape[1], k.shape[1]
+    neg = (1.0 - mask_ref[0, 0, :]) * NEG_INF                # [Sk]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # [H,Tq,Sk]
+    if L > 0:
+        blk = bias_ref[...]                                  # [H,Lp,Lp]
+        Lp = blk.shape[-1]
+        blk = blk[:, :min(Lp, Tq), :min(Lp, Sk)]
+        if blk.shape[2] < Sk:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((H, blk.shape[1], Sk - blk.shape[2]),
+                                blk.dtype)], axis=2)
+        if blk.shape[1] < Tq:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((H, Tq - blk.shape[1], Sk), blk.dtype)],
+                axis=1)
+        s = s + blk
+    s = s + neg[None, None, :]
+    p = jax.nn.softmax(s, axis=-1)                           # [H,Tq,Sk]
+    if p_ref is not None:
+        p_ref[0] = p.reshape(H * Tq, Sk)
+    if dropout_rate > 0.0:
+        keep = _keep_masks(seed_ref[0], b, H, (Tq, Sk), dropout_rate)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    o = jax.lax.dot_general(p.astype(v.dtype), v,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # [H,Tq,dk]
+    o_ref[0] = _concat_heads(o, H).astype(o_ref.dtype)
+
+
+def _fwd_kernel_batched_save_p(q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                               seed_ref, o_ref, p_ref,
+                               *, H, dk, L, dropout_rate):
+    _fwd_kernel_batched(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref,
+                        o_ref, H=H, dk=dk, L=L, dropout_rate=dropout_rate,
+                        p_ref=p_ref)
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, p_ref, seed_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *, H, dk, L, dropout_rate):
     """Backward over saved probabilities: p_ref [1,H*Tq,Sk] f32 from the
@@ -204,6 +269,65 @@ def _bwd_kernel(q_ref, k_ref, v_ref, p_ref, seed_ref, do_ref,
         dbias_ref[...] = dbias_ref[...] + db
 
 
+def _bwd_kernel_batched(q_ref, k_ref, v_ref, p_ref, seed_ref, do_ref,
+                        dq_ref, dk_ref, dv_ref, dbias_ref,
+                        *, H, dk, L, dropout_rate):
+    """Batched-dot backward: identical math to ``_bwd_kernel`` but the
+    12 per-head python-loop iterations become 4 head-batched
+    ``dot_general`` calls ([H,·,·] batch dimension — Mosaic lowers these
+    as one pipelined MXU op sequence instead of 48 small serial dots).
+    Costs one [S,H·dk]→[H,S,dk] relayout per operand; wins when the
+    serial-dot pipeline, not the relayout, is the bottleneck — selected
+    by measurement (scripts/attn_probe.py)."""
+    b = pl.program_id(0)
+    Tq = q_ref.shape[1]
+    Sk = k_ref.shape[1]
+    Lp = dbias_ref.shape[-1]
+
+    q = _stack_heads(q_ref[0], H, dk).astype(jnp.float32)   # [H,Tq,dk]
+    k = _stack_heads(k_ref[0], H, dk).astype(jnp.float32)
+    v = _stack_heads(v_ref[0], H, dk).astype(jnp.float32)
+    do = _stack_heads(do_ref[0], H, dk).astype(jnp.float32)
+    p = p_ref[0].reshape(H, Tq, Sk)                # f32 (saved by fwd)
+    if dropout_rate > 0.0:
+        # regenerate the fwd kernel's EXACT per-(b,h) streams: only the
+        # mask generation stays a per-head loop (VPU work), the dots
+        # below are head-batched (MXU work)
+        keep = _keep_masks(seed_ref[0], b, H, (Tq, Sk), dropout_rate)
+        pd = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    else:
+        pd = p
+    bat = lambda a, bb, dims: jax.lax.dot_general(
+        a, bb, (dims, ((0,), (0,))), preferred_element_type=jnp.float32)
+    dv = bat(pd, do, ((1,), (1,)))                 # [H,Sk,dk]
+    dpd = bat(do, v, ((2,), (2,)))                 # [H,Tq,Sk]
+    if dropout_rate > 0.0:
+        dp = jnp.where(keep, dpd / (1.0 - dropout_rate), 0.0)
+    else:
+        dp = dpd
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))   # [H,Tq,Sk]
+    dq = bat(ds, k, ((2,), (1,)))                  # [H,Tq,dk]
+    dk_ = bat(ds, q, ((1,), (1,)))                 # [H,Sk,dk]
+
+    dq_ref[0] = _concat_heads(dq, H).astype(dq_ref.dtype)
+    dk_ref[0] = _concat_heads(dk_, H).astype(dk_ref.dtype)
+    dv_ref[0] = _concat_heads(dv, H).astype(dv_ref.dtype)
+    if L == 0:
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        return
+    db = _pad_block(ds[:, :L, :L], H, L, Lp)       # [H,Lp,Lp]
+
+    @pl.when(b == 0)
+    def _():
+        dbias_ref[...] = db
+
+    @pl.when(b != 0)
+    def _():
+        dbias_ref[...] = dbias_ref[...] + db
+
+
 def _seed_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -213,6 +337,9 @@ def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L,
     B, Tq, HD = q.shape
     Sk = k.shape[1]
     Lp = bias.shape[-1]
+    k_plain = _fwd_kernel_batched if FWD_IMPL == "batched" else _fwd_kernel
+    k_save = (_fwd_kernel_batched_save_p if FWD_IMPL == "batched"
+              else _fwd_kernel_save_p)
     q_spec = pl.BlockSpec((1, Tq, HD), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, Sk, HD), lambda b: (b, 0, 0),
@@ -227,7 +354,7 @@ def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L,
         p_spec = pl.BlockSpec((1, H * Tq, Sk), lambda b: (b, 0, 0),
                               memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_fwd_kernel_save_p, H=H, dk=HD // H, L=L,
+            functools.partial(k_save, H=H, dk=HD // H, L=L,
                               dropout_rate=dropout_rate),
             grid=(B,),
             in_specs=in_specs,
@@ -237,7 +364,7 @@ def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L,
             interpret=interpret,
         )(q, k, v, bias, mask, seed)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H=H, dk=HD // H, L=L,
+        functools.partial(k_plain, H=H, dk=HD // H, L=L,
                           dropout_rate=dropout_rate),
         grid=(B,),
         in_specs=in_specs,
@@ -247,9 +374,18 @@ def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L,
     )(q, k, v, bias, mask, seed)
 
 
+# kernel implementations: "serial" (per-head dot loop) or "batched"
+# (head-batched dot_generals — one pipelined MXU op sequence per call).
+# Module-level so scripts/attn_kernel_probe.py can A/B them; defaults are
+# the measured winners on v5e at the bench geometry.
+FWD_IMPL = "serial"
+BWD_IMPL = "serial"
+
+
 def _call_bwd(q, k, v, p, seed, do, interpret, dropout_rate, H, L, Lp):
     B, Tq, HD = q.shape
     Sk = k.shape[1]
+    kern = _bwd_kernel_batched if BWD_IMPL == "batched" else _bwd_kernel
     q_spec = pl.BlockSpec((1, Tq, HD), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, Sk, HD), lambda b: (b, 0, 0),
@@ -259,7 +395,7 @@ def _call_bwd(q, k, v, p, seed, do, interpret, dropout_rate, H, L, Lp):
     p_spec = pl.BlockSpec((1, H * Tq, Sk), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, H=H, dk=HD // H, L=L,
+        functools.partial(kern, H=H, dk=HD // H, L=L,
                           dropout_rate=dropout_rate),
         grid=(B,),
         in_specs=[q_spec, kv_spec, kv_spec, p_spec, _seed_spec(), q_spec],
