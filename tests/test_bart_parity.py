@@ -11,6 +11,8 @@ from vqacl_tpu.models.bart import (bart_decode_train, bart_encode,
                                    bart_from_state_dict, init_bart_params)
 from vqacl_tpu.utils.config import tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -12,6 +12,8 @@ from vqacl_tpu.models.generate import beam_search, greedy_decode
 from vqacl_tpu.models.t5 import init_t5_params
 from vqacl_tpu.utils.config import tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -17,6 +17,8 @@ from vqacl_tpu.data.synthetic_module import SyntheticDataModule
 from vqacl_tpu.data.tokenizer import VLT5Tokenizer
 from vqacl_tpu.utils.config import Config, tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 @pytest.fixture(scope="module")
 def run(tmp_path_factory):

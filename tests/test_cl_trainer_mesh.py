@@ -22,8 +22,11 @@ from vqacl_tpu.data.tokenizer import VLT5Tokenizer
 from vqacl_tpu.parallel import make_mesh
 from vqacl_tpu.utils.config import Config, tiny_model_config
 
-pytestmark = pytest.mark.skipif(jax.device_count() < 8,
-                                reason="needs the 8-device virtual mesh")
+pytestmark = [
+    pytest.mark.slow,  # full-pipeline / compile-heavy (>5 s)
+    pytest.mark.skipif(jax.device_count() < 8,
+                       reason="needs the 8-device virtual mesh"),
+]
 
 
 @pytest.fixture(scope="module", autouse=True)

@@ -12,6 +12,10 @@ from vqacl_tpu.models.vlt5 import (classifier_bce_loss, classifier_logits,
                                    init_classifier_head, init_vlt5_params)
 from vqacl_tpu.utils.config import tiny_model_config
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def test_classifier_head_learns():
     cfg = tiny_model_config()

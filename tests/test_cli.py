@@ -2,6 +2,10 @@
 
 from vqacl_tpu.cli.args import parse_config
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def test_reference_launch_flags_translate():
     # the reference's VQACL_train.sh invocation, verbatim flags

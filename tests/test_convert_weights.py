@@ -28,6 +28,8 @@ from vqacl_tpu.vision.convert_weights import (fold_bn, from_caffe2_dict,
                                               load_npz_params,
                                               save_npz_params)
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 _STAGE_GEOM = {  # (n_blocks, cin, cmid, cout)
     "res2": (3, 64, 64, 256),
     "res3": (4, 256, 128, 512),

@@ -11,6 +11,8 @@ from vqacl_tpu.data.device_cache import DeviceFeatureCache, \
 from vqacl_tpu.data.features import MemoryFeatureStore
 from vqacl_tpu.parallel import make_mesh, replicate, shard_batch
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def make_table(rng, n=20, n_boxes=4, feat_dim=16):
     feats = rng.normal(size=(n, n_boxes, feat_dim)).astype(np.float32)

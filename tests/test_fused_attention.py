@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from vqacl_tpu.ops.fused_attention import fused_encoder_attention
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def reference_attention(q, k, v, pos_bias, mask):
     """Unscaled T5 attention, f32 softmax (t5.multihead_attention)."""

@@ -6,6 +6,10 @@ import numpy as np
 
 from vqacl_tpu.parallel import multihost as mh
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def test_single_process_degenerate_paths():
     assert mh.process_count() == 1

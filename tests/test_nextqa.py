@@ -12,6 +12,8 @@ from vqacl_tpu.nextqa.data import (
     VideoFeatureStore, dummy_boxes, items_from_rows,
 )
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def test_wups_basics():
     assert get_wups("dog", "dog", 0) == 1.0

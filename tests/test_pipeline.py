@@ -31,6 +31,8 @@ from vqacl_tpu.parallel.pipeline import (decoder_stack_pp, encoder_stack_pp,
                                          gpipe, stack_blocks)
 from vqacl_tpu.utils.config import Config, tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def _mesh(pp, dp=1):
     devs = jax.devices()

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from vqacl_tpu.models.hf_import import from_state_dict, load_reference_pth
 from vqacl_tpu.utils.config import tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 from vqacl_tpu.vision import resnext3d as rx
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 TINY_STAGES = [(1, 32, 1), (2, 64, 2)]   # block0 identity + projection paths
 
 

@@ -21,6 +21,8 @@ from vqacl_tpu.data.features import MemoryFeatureStore
 from vqacl_tpu.data.tokenizer import VLT5Tokenizer
 from vqacl_tpu.utils.config import Config, tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 @pytest.fixture(scope="module")
 def predictor():

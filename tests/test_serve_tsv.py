@@ -12,6 +12,10 @@ from vqacl_tpu.data.features import MemoryFeatureStore
 from vqacl_tpu.data.tokenizer import VLT5Tokenizer
 from vqacl_tpu.utils.config import Config, tiny_model_config
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def test_predictor_roundtrip(tmp_path, rng):
     """Save a checkpoint, load through VQAPredictor, get string answers."""

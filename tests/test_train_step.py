@@ -15,6 +15,8 @@ from vqacl_tpu.train.state import TrainState
 from vqacl_tpu.train.step import make_eval_step, make_train_step
 from vqacl_tpu.utils.config import Config, tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def tiny_cfg():
     cfg = Config()

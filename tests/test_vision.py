@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from vqacl_tpu.vision import frcnn, resnet, rpn
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def test_caffe_maxpool_ceil_mode():
     # H=W=7: caffe ceil mode → out = ceil((7-3)/2)+1 = 3

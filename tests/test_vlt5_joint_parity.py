@@ -34,6 +34,8 @@ from vqacl_tpu.models.hf_import import from_state_dict
 from vqacl_tpu.models.prototype import ProtoState
 from vqacl_tpu.utils.config import tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
