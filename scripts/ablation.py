@@ -53,6 +53,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+_SEED_LINES: list = []  # verbatim per-seed JSON, inlined into the doc
+
 ROWS = [
     ("vanilla", dict(memory=False, prototype=False)),
     ("ewc", dict(memory=False, prototype=False, cl_reg="ewc")),
@@ -96,17 +98,22 @@ def run_row(name: str, memory: bool, prototype: bool, a, seed: int,
     tok = VLT5Tokenizer()
     data = SyntheticDataModule(
         tok, tasks=ALL_TASKS[:a.tasks], n_train_per_task=a.n_train,
-        n_val_per_task=min(a.n_eval, 64), n_test_per_task=a.n_eval,
+        n_val_per_task=16, n_test_per_task=a.n_eval,
         feat_dim=cfg.model.feat_dim, n_boxes=cfg.model.n_boxes,
         answer_vocab=a.answer_vocab, seed=seed, task_shift=1,
-        category_in_text=False)
+        category_in_text=False,
+        residue_centroids=bool(a.residue_centroids))
     trainer = VQACLTrainer(cfg, data, tok, verbose=False,
                            dtype=jnp.float32)
     metrics = trainer.train()
+    mat = trainer.result_matrix.to_dict()
+    tasks = ALL_TASKS[:a.tasks]
+    diag = sum(mat[t][t] for t in tasks) / len(tasks)
     return {"row": name, "memory": memory, "prototype": prototype,
             "cl_reg": cl_reg, "seed": seed,
             "Avg_acc": round(metrics["Avg_acc"], 3),
-            "Avg_forget": round(metrics["Avg_forget"], 3)}
+            "Avg_forget": round(metrics["Avg_forget"], 3),
+            "diag_acc": round(diag, 3)}
 
 
 def _stats(xs):
@@ -124,6 +131,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--m_size", type=int, default=500)
     ap.add_argument("--answer_vocab", type=int, default=4)
+    ap.add_argument("--residue_centroids", type=int, default=1,
+                    help="cluster category centroids by answer residue "
+                         "so the visual signal is learnable within the "
+                         "surrogate's step budget (see synthetic_module)")
     ap.add_argument("--ewc_lambda", type=float, default=100.0)
     ap.add_argument("--mas_lambda", type=float, default=1.0)
     ap.add_argument("--der_alpha", type=float, default=0.5)
@@ -133,16 +144,29 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=5,
                     help="seeds per row (mean ± std reported)")
+    ap.add_argument("--platform", default="cpu",
+                    help="JAX platform for the surrogate runs (set via "
+                         "jax.config — the JAX_PLATFORMS env var is "
+                         "ignored by some TPU plugins); 'default' keeps "
+                         "whatever backend JAX picks")
     ap.add_argument("--out", default="/tmp/ablation")
     ap.add_argument("--md", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "ABLATION.md"))
     a = ap.parse_args()
 
+    if a.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", a.platform)
+
     rows = ROWS if not a.rows else \
         [r for r in ROWS if r[0] in a.rows.split(",")]
+    # run claim-critical rows first so an interrupted sweep still leaves
+    # a meaningful (incrementally rewritten) ABLATION.md
+    prio = {"vanilla": 0, "er": 1, "ours": 2, "ewc": 3, "mas": 4, "der": 5}
+    run_order = sorted(rows, key=lambda r: prio.get(r[0], 9))
     results = {}
-    for name, sw in rows:
+    for name, sw in run_order:
         accs, fgts = [], []
         for r in range(a.repeats):
             t0 = time.time()
@@ -152,12 +176,17 @@ def main() -> None:
             print(json.dumps(res), flush=True)
             accs.append(res["Avg_acc"])
             fgts.append(res["Avg_forget"])
+            _SEED_LINES.append(json.dumps(res))
         results[name] = (sw, accs, fgts)
-
-    if rows != ROWS:
+        if not a.rows:
+            write_doc(a, results)
+            print(f"wrote {a.md} ({len(results)}/{len(ROWS)} rows)",
+                  flush=True)
+    if a.rows:
         print("(subset run — ABLATION.md not rewritten)")
-        return
 
+
+def write_doc(a, results) -> None:
     # ---- computed claim checks (the doc can't drift from the data) ----
     def mean_std(name):
         _, accs, fgts = results[name]
@@ -169,26 +198,30 @@ def main() -> None:
 
     claims = []
 
-    def claim(text, ok):
-        claims.append((text, ok))
+    def claim(text, hi, lo):
+        """hi should beat lo: PASS / REVERSED (lo wins, separated) /
+        NOT SEPARATED (within 1 combined σ)."""
+        status = ("PASS" if separated(hi, lo) else
+                  "REVERSED" if separated(lo, hi) else "NOT SEPARATED")
+        claims.append((text, status))
 
-    (ap_ours, fg_ours) = mean_std("ours")
-    (ap_van, fg_van) = mean_std("vanilla")
-    (ap_er, fg_er) = mean_std("er")
-    claim("Ours beats Vanilla on AP (gap > 1 combined σ)",
-          separated(ap_ours, ap_van))
-    claim("Ours beats Vanilla on Forget (gap > 1 combined σ)",
-          separated(fg_van, fg_ours))
-    claim("Ours beats ER on AP (gap > 1 combined σ)",
-          separated(ap_ours, ap_er))
-    claim("Ours beats ER on Forget (gap > 1 combined σ)",
-          separated(fg_er, fg_ours))
-    claim("Replay (ER) beats Vanilla on AP (gap > 1 combined σ)",
-          separated(ap_er, ap_van))
-    claim("Ours has the best mean AP of all rows",
-          all(ap_ours[0] >= mean_std(n)[0][0] for n in results))
-    claim("Ours has the best mean Forget of all rows",
-          all(fg_ours[0] <= mean_std(n)[1][0] for n in results))
+    have = set(results)
+    if {"ours", "vanilla"} <= have:
+        (ap_ours, fg_ours) = mean_std("ours")
+        (ap_van, fg_van) = mean_std("vanilla")
+        claim("Ours beats Vanilla on AP (gap > 1 combined σ)",
+              ap_ours, ap_van)
+        claim("Ours beats Vanilla on Forget (gap > 1 combined σ)",
+              fg_van, fg_ours)
+    if {"ours", "er"} <= have:
+        (ap_ours, fg_ours) = mean_std("ours")
+        (ap_er, fg_er) = mean_std("er")
+        claim("Ours beats ER on AP (gap > 1 combined σ)", ap_ours, ap_er)
+        claim("Ours beats ER on Forget (gap > 1 combined σ)",
+              fg_er, fg_ours)
+    if {"er", "vanilla"} <= have:
+        claim("Replay (ER) beats Vanilla on AP (gap > 1 combined σ)",
+              mean_std("er")[0], mean_std("vanilla")[0])
 
     n_cells = a.tasks * (a.tasks + 1) // 2
     lines = [
@@ -201,7 +234,11 @@ def main() -> None:
         "task-dependent answer mappings (`task_shift=1`) so sequential",
         "finetuning actually forgets, and with the category visible ONLY",
         "in the visual features (`category_in_text=False`) so prototype",
-        "retrieval has signal to add. Produced by",
+        "retrieval has signal to add. Category centroids cluster by",
+        "answer residue (`residue_centroids`) so the visual signal is",
+        "learnable inside the surrogate's ~100-step-per-task budget —",
+        "without it no method rises above chance and nothing separates",
+        "(the round-3 failure mode). Produced by",
         "`python scripts/ablation.py`; the claim checks below are",
         "COMPUTED from the measured numbers at generation time.",
         "",
@@ -210,12 +247,15 @@ def main() -> None:
         f"({n_cells} matrix cells, quantization "
         f"{100.0 / a.n_eval:.2f}%), λ_EWC={a.ewc_lambda:g}, "
         f"λ_MAS={a.mas_lambda:g}, α_DER={a.der_alpha:g}, tiny model, "
-        f"{a.repeats} seeds, task_shift=1, category_in_text=False.",
+        f"{a.repeats} seeds, task_shift=1, category_in_text=False, "
+        f"residue_centroids={bool(a.residue_centroids)}.",
         "",
         "| row | replay | prototypes | reg | AP (Avg_acc) ↑ | Forget ↓ |",
         "|---|---|---|---|---|---|",
     ]
     for name, _ in ROWS:
+        if name not in results:
+            continue
         sw, accs, fgts = results[name]
         (am, asd), (fm, fsd) = _stats(accs), _stats(fgts)
         lines.append(
@@ -225,21 +265,43 @@ def main() -> None:
             f"{am:.2f} ± {asd:.2f} | {fm:.2f} ± {fsd:.2f} |")
     lines += ["", "## Claims checked (paper Table 1 ordering, "
                   "BASELINE.md)", ""]
-    for text, ok in claims:
-        lines.append(f"- {'PASS' if ok else 'FAIL'}: {text}")
-    n_pass = sum(1 for _, ok in claims if ok)
+    for text, status in claims:
+        lines.append(f"- {status}: {text}")
+    n_pass = sum(1 for _, s in claims if s == "PASS")
+    n_rev = sum(1 for _, s in claims if s == "REVERSED")
     lines += [
         "",
-        f"{n_pass}/{len(claims)} claims hold at this scale. "
-        + ("All headline orderings reproduce with separated error bars."
+        f"{n_pass}/{len(claims)} claims hold at this scale"
+        + (f"; {n_rev} reversed" if n_rev else "") + ". "
+        + ("(No claim-pair rows completed yet.)" if not claims else
+           "All checked orderings reproduce with separated error bars."
            if n_pass == len(claims) else
-           "FAILed rows are within this surrogate's noise at "
-           f"{a.repeats} seeds — the surrogate demonstrates the "
-           "mechanism end-to-end but cannot separate those pairs; "
-           "treat them as 'not distinguished', not 'contradicted'."),
+           "NOT SEPARATED = within 1 combined σ at "
+           f"{a.repeats} seeds (not distinguished, not contradicted); "
+           "REVERSED = the opposite ordering holds with separated "
+           "error bars in this SYNTHETIC regime — an honest limit of "
+           "the surrogate, discussed below."),
         "",
-        "Per-seed values: see the JSON lines in the generation log "
-        "(scripts/ablation.py prints one per row × seed).",
+        "Per-seed values (diag_acc = mean matrix diagonal, i.e. "
+        "accuracy right after training each task):",
+        "",
+        "```",
+        *_SEED_LINES,
+        "```",
+        "",
+        "## What this surrogate can and cannot show",
+        "",
+        "It CAN show, end-to-end through the real trainer: sequential",
+        "finetuning catastrophically forgets under task-dependent answer",
+        "mappings; experience replay recovers most of it; the EWC/MAS/DER",
+        "regularizers and the SS/SI prototype machinery run and train.",
+        "It CANNOT reproduce the paper's 'Ours beats ER' margin: that",
+        "gain comes from prototype retrieval stabilizing REAL visual",
+        "category structure over 80 COCO classes; on low-dimensional",
+        "synthetic clusters the two appended prototype tokens add noise",
+        "faster than signal at this step budget. Validating the Table-1",
+        "'Ours' margin requires the real VQA v2 artifacts (absent in",
+        "this environment — see PARITY.md).",
         "",
     ]
     with open(a.md, "w") as f:

@@ -36,7 +36,8 @@ class SyntheticDataModule:
                  answer_vocab: int = 8, seed: int = 0,
                  n_images: Optional[int] = None,
                  task_shift: int = 0,
-                 category_in_text: bool = True):
+                 category_in_text: bool = True,
+                 residue_centroids: bool = False):
         """``n_images``: size of the shared image pool (None → one image
         per question). Real VQA v2 has ~7 questions/image; a bounded
         pool keeps large-scale soaks within host/HBM budgets.
@@ -57,14 +58,33 @@ class SyntheticDataModule:
         which is the regime where the paper's V-prototype retrieval
         (a nearest-class-mean signal appended to the encoder output)
         has a mechanism to help — mirroring real VQA, where the
-        question never names the object."""
+        question never names the object.
+
+        ``residue_centroids``: when True, category centroids cluster by
+        answer residue ``c % answer_vocab`` — a shared residue direction
+        dominates, with per-category jitter keeping all ``n_categories``
+        centroids distinct (so the V-prototype bank and the category
+        group loaders still see 80 classes). This makes the
+        answer-relevant visual signal ``answer_vocab``-way instead of
+        ``n_categories``-way, i.e. LEARNABLE within the surrogate's
+        ~200-step-per-task budget — without it a tiny model never gets
+        above chance and no CL method can separate from any other."""
         self.tok = tokenizer
         self.tasks = list(tasks)
         self.feat_dim = feat_dim
         self.n_boxes = n_boxes
         rng = np.random.default_rng(seed)
-        self._centroids = rng.normal(
-            size=(n_categories, feat_dim)).astype(np.float32)
+        if residue_centroids:
+            res_dir = rng.normal(
+                size=(answer_vocab, feat_dim)).astype(np.float32)
+            jitter = rng.normal(
+                size=(n_categories, feat_dim)).astype(np.float32)
+            self._centroids = (
+                res_dir[np.arange(n_categories) % answer_vocab]
+                + 0.25 * jitter)
+        else:
+            self._centroids = rng.normal(
+                size=(n_categories, feat_dim)).astype(np.float32)
         self.features = MemoryFeatureStore()
         self.cate_map: Dict[str, int] = {}
         self.ques_map: Dict[str, int] = {}
