@@ -1,6 +1,7 @@
 """Schedules, freeze mask, decay groups."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -119,6 +120,7 @@ def test_scale_by_adam_lowmem_matches_optax_in_f32():
                                        rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # ~7 s: trains two full trajectories
 def test_adam_bf16_moments_track_f32_training():
     """bf16 moment storage must not change the loss trajectory beyond
     rounding noise on a real (tiny) training run — the gate for using

@@ -19,6 +19,8 @@ from vqacl_tpu.data.features import write_h5
 from vqacl_tpu.data.tokenizer import VLT5Tokenizer
 from vqacl_tpu.utils.config import Config, tiny_model_config
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 TASKS = ["q_recognition", "q_location"]
 
 

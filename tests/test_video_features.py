@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 from vqacl_tpu.vision import video
 
+pytestmark = pytest.mark.slow  # full-pipeline / compile-heavy (>5 s)
+
 
 def test_sample_indices_uniform():
     idx = video.sample_indices(160, 16)
