@@ -61,12 +61,17 @@ ROWS = [
     ("mas", dict(memory=False, prototype=False, cl_reg="mas")),
     ("er", dict(memory=True, prototype=False)),
     ("der", dict(memory=True, prototype=False, cl_reg="der")),
-    ("ours", dict(memory=True, prototype=True)),
+    # the reference ALWAYS adds the SI memory loss when replay memory is
+    # on and prototypes are active (vqacl.py:448-450 adds
+    # λ_Q·loss_memory_Q + λ_V·loss_memory_V whenever 'loss_memory' is in
+    # results; modeling_t5_our.py:590-593 emits it iff memory=True), so
+    # the Table-1 "Ours" row = prototypes + retrieval + SI anchor loss
+    ("ours", dict(memory=True, prototype=True, memloss=True)),
 ]
 
 
 def run_row(name: str, memory: bool, prototype: bool, a, seed: int,
-            cl_reg: str = "none"):
+            cl_reg: str = "none", memloss: bool = False):
     import jax.numpy as jnp
 
     from vqacl_tpu.cl.tasks import ALL_TASKS
@@ -87,6 +92,9 @@ def run_row(name: str, memory: bool, prototype: bool, a, seed: int,
     cfg.train.epochs = a.epochs
     cfg.train.seed = seed
     cfg.train.cl_reg = cl_reg
+    cfg.train.use_memory_loss = memloss
+    cfg.train.lambda_Q = a.lambda_q     # reference defaults (param.py:178-179)
+    cfg.train.lambda_V = a.lambda_v
     if cl_reg in ("ewc", "mas"):
         cfg.train.reg_lambda = a.ewc_lambda if cl_reg == "ewc" \
             else a.mas_lambda
@@ -110,7 +118,7 @@ def run_row(name: str, memory: bool, prototype: bool, a, seed: int,
     tasks = ALL_TASKS[:a.tasks]
     diag = sum(mat[t][t] for t in tasks) / len(tasks)
     return {"row": name, "memory": memory, "prototype": prototype,
-            "cl_reg": cl_reg, "seed": seed,
+            "cl_reg": cl_reg, "memloss": memloss, "seed": seed,
             "Avg_acc": round(metrics["Avg_acc"], 3),
             "Avg_forget": round(metrics["Avg_forget"], 3),
             "diag_acc": round(diag, 3)}
@@ -135,6 +143,12 @@ def main() -> None:
                     help="cluster category centroids by answer residue "
                          "so the visual signal is learnable within the "
                          "surrogate's step budget (see synthetic_module)")
+    ap.add_argument("--lambda_q", type=float, default=0.01,
+                    help="SI memory-loss weight for the 'ours' row "
+                         "(reference param.py:178)")
+    ap.add_argument("--lambda_v", type=float, default=0.1,
+                    help="SI memory-loss weight for the 'ours' row "
+                         "(reference param.py:179)")
     ap.add_argument("--ewc_lambda", type=float, default=100.0)
     ap.add_argument("--mas_lambda", type=float, default=1.0)
     ap.add_argument("--der_alpha", type=float, default=0.5)
@@ -171,7 +185,8 @@ def main() -> None:
         for r in range(a.repeats):
             t0 = time.time()
             res = run_row(name, sw["memory"], sw["prototype"], a,
-                          seed=a.seed + r, cl_reg=sw.get("cl_reg", "none"))
+                          seed=a.seed + r, cl_reg=sw.get("cl_reg", "none"),
+                          memloss=sw.get("memloss", False))
             res["wall_s"] = round(time.time() - t0, 1)
             print(json.dumps(res), flush=True)
             accs.append(res["Avg_acc"])
@@ -246,7 +261,9 @@ def write_doc(a, results) -> None:
         f"{a.epochs}, M={a.m_size}, {a.n_eval} test QA/task "
         f"({n_cells} matrix cells, quantization "
         f"{100.0 / a.n_eval:.2f}%), λ_EWC={a.ewc_lambda:g}, "
-        f"λ_MAS={a.mas_lambda:g}, α_DER={a.der_alpha:g}, tiny model, "
+        f"λ_MAS={a.mas_lambda:g}, α_DER={a.der_alpha:g}, "
+        f"λ_Q={a.lambda_q:g}/λ_V={a.lambda_v:g} (ours row, SI memory "
+        f"loss as in the reference), tiny model, "
         f"{a.repeats} seeds, task_shift=1, category_in_text=False, "
         f"residue_centroids={bool(a.residue_centroids)}.",
         "",
@@ -282,6 +299,48 @@ def write_doc(a, results) -> None:
            "error bars in this SYNTHETIC regime — an honest limit of "
            "the surrogate, discussed below."),
         "",
+    ]
+    # ---- surrogate power analysis (VERDICT r4 #2): the minimum gap the
+    # 1-combined-σ criterion can detect at this seed count, vs the
+    # paper's actual Table-1 margin mapped onto the surrogate's scale ----
+    if {"ours", "er"} <= have:
+        (ap_ours, _), (fg_ours, _) = mean_std("ours")
+        (ap_er, _), (fg_er, _) = mean_std("er")
+        mdg_ap = ap_ours[1] + ap_er[1]
+        mdg_fg = fg_ours[1] + fg_er[1]
+        # paper Table 1 (BASELINE.md): Ours 38.77 AP vs ER 36.99 AP
+        # (+4.8 % relative); Forget 3.96 vs 5.99 (−33.9 % relative)
+        paper_ap_gap = (38.77 - 36.99) / 36.99 * ap_er[0]
+        paper_fg_gap = (5.99 - 3.96) / 5.99 * fg_er[0]
+        lines += [
+            "",
+            "## Surrogate power analysis (Ours vs ER)",
+            "",
+            "The claim criterion is mean-gap > 1 combined σ (σ_ours + "
+            "σ_er). Measured at "
+            f"{a.repeats} seeds:",
+            "",
+            "| metric | min detectable gap | paper's Table-1 margin at "
+            "this scale | detectable? |",
+            "|---|---|---|---|",
+            f"| AP ↑ | {mdg_ap:.2f} pts | +{paper_ap_gap:.2f} pts "
+            f"(+4.8 % of ER, scaled from 38.77 vs 36.99) | "
+            f"{'yes' if paper_ap_gap > mdg_ap else 'NO — underpowered'} |",
+            f"| Forget ↓ | {mdg_fg:.2f} pts | −{paper_fg_gap:.2f} pts "
+            f"(−33.9 % of ER, scaled from 3.96 vs 5.99) | "
+            f"{'yes' if paper_fg_gap > mdg_fg else 'NO — underpowered'} |",
+            "",
+            "Reading: if a column-3 margin is below the column-2 "
+            "detection floor, a NOT SEPARATED verdict above is the "
+            "expected outcome even when the paper-sized effect is real "
+            "— the tie is a measured power limit of the surrogate at "
+            "this seed count, not evidence against the mechanism. If "
+            "the margin clears the floor and the verdict is still NOT "
+            "SEPARATED, the surrogate genuinely does not reproduce the "
+            "margin (see the limits section below).",
+        ]
+    lines += [
+        "",
         "Per-seed values (diag_acc = mean matrix diagonal, i.e. "
         "accuracy right after training each task):",
         "",
@@ -294,14 +353,15 @@ def write_doc(a, results) -> None:
         "It CAN show, end-to-end through the real trainer: sequential",
         "finetuning catastrophically forgets under task-dependent answer",
         "mappings; experience replay recovers most of it; the EWC/MAS/DER",
-        "regularizers and the SS/SI prototype machinery run and train.",
-        "It CANNOT reproduce the paper's 'Ours beats ER' margin: that",
-        "gain comes from prototype retrieval stabilizing REAL visual",
-        "category structure over 80 COCO classes; on low-dimensional",
-        "synthetic clusters the two appended prototype tokens add noise",
-        "faster than signal at this step budget. Validating the Table-1",
-        "'Ours' margin requires the real VQA v2 artifacts (absent in",
-        "this environment — see PARITY.md).",
+        "regularizers and the SS/SI prototype machinery (retrieval +",
+        "EMA banks + the reference's λ_Q/λ_V SI anchor loss) run and",
+        "train. Whether the paper's 'Ours beats ER' margin reproduces",
+        "here is exactly what the computed claim checks + power analysis",
+        "above report — do not quote an ordering from this section;",
+        "quote those. The paper's full margin lives on REAL visual",
+        "category structure over 80 COCO classes; quantitatively",
+        "validating Table 1 itself requires the real VQA v2 artifacts",
+        "(absent in this environment — see PARITY.md).",
         "",
     ]
     with open(a.md, "w") as f:
