@@ -55,6 +55,33 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 _SEED_LINES: list = []  # verbatim per-seed JSON, inlined into the doc
 
+# args that change a cell's result — the cache key ties a stored cell to
+# the exact sweep config so a resumed run can't mix configs
+CFG_FIELDS = ("tasks", "n_train", "n_eval", "epochs", "m_size",
+              "answer_vocab", "residue_centroids", "lambda_q", "lambda_v",
+              "ewc_lambda", "mas_lambda", "der_alpha", "fisher_batches")
+
+
+def cfg_key(a) -> dict:
+    return {f: getattr(a, f) for f in CFG_FIELDS}
+
+
+def load_cache(a) -> dict:
+    """{(row, seed): result} for cells recorded under the same config.
+    A ~100 s/cell sweep over 6 rows × 5 seeds takes hours on this host;
+    the cache makes an interrupted sweep resumable instead of restarting."""
+    cells = {}
+    if a.cache and os.path.exists(a.cache):
+        with open(a.cache) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec.get("cfg") == cfg_key(a):
+                    cells[(rec["row"], rec["seed"])] = rec
+    return cells
+
 ROWS = [
     ("vanilla", dict(memory=False, prototype=False)),
     ("ewc", dict(memory=False, prototype=False, cl_reg="ewc")),
@@ -164,6 +191,11 @@ def main() -> None:
                          "ignored by some TPU plugins); 'default' keeps "
                          "whatever backend JAX picks")
     ap.add_argument("--out", default="/tmp/ablation")
+    ap.add_argument("--cache", default=None,
+                    help="JSONL of completed cells (default "
+                         "<out>/cells.jsonl); cells recorded under the "
+                         "same config are reused instead of re-run, so "
+                         "an interrupted sweep resumes")
     ap.add_argument("--md", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "ABLATION.md"))
@@ -172,6 +204,14 @@ def main() -> None:
     if a.platform != "default":
         import jax
         jax.config.update("jax_platforms", a.platform)
+
+    if a.cache is None:
+        a.cache = os.path.join(a.out, "cells.jsonl")
+    os.makedirs(a.out, exist_ok=True)
+    cached = load_cache(a)
+    if cached:
+        print(f"resuming: {len(cached)} cached cells in {a.cache}",
+              flush=True)
 
     rows = ROWS if not a.rows else \
         [r for r in ROWS if r[0] in a.rows.split(",")]
@@ -183,15 +223,21 @@ def main() -> None:
     for name, sw in run_order:
         accs, fgts = [], []
         for r in range(a.repeats):
-            t0 = time.time()
-            res = run_row(name, sw["memory"], sw["prototype"], a,
-                          seed=a.seed + r, cl_reg=sw.get("cl_reg", "none"),
-                          memloss=sw.get("memloss", False))
-            res["wall_s"] = round(time.time() - t0, 1)
+            res = cached.get((name, a.seed + r))
+            if res is None:
+                t0 = time.time()
+                res = run_row(name, sw["memory"], sw["prototype"], a,
+                              seed=a.seed + r,
+                              cl_reg=sw.get("cl_reg", "none"),
+                              memloss=sw.get("memloss", False))
+                res["wall_s"] = round(time.time() - t0, 1)
+                with open(a.cache, "a") as f:
+                    f.write(json.dumps({**res, "cfg": cfg_key(a)}) + "\n")
             print(json.dumps(res), flush=True)
             accs.append(res["Avg_acc"])
             fgts.append(res["Avg_forget"])
-            _SEED_LINES.append(json.dumps(res))
+            _SEED_LINES.append(json.dumps(
+                {k: v for k, v in res.items() if k != "cfg"}))
         results[name] = (sw, accs, fgts)
         if not a.rows:
             write_doc(a, results)

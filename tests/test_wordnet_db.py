@@ -174,3 +174,30 @@ def test_nltk_equality_1000_pairs():
         if checked >= 1000:
             break
     assert checked >= 1000
+
+
+def test_validate_wordnet_cli(tmp_path):
+    """The documented one-step corpus check: with WNdb files present,
+    `python -m vqacl_tpu.cli.validate_wordnet <dir>` reports the
+    wndb-files backend and coverage 1.0 over the supplied vocab
+    (subprocess — backend resolution is cached at import time)."""
+    import subprocess
+    import sys
+
+    from vqacl_tpu.evaluation import wups
+
+    write_wndb_from_taxonomy(str(tmp_path))
+    words = sorted(w for w in taxonomy.vocabulary()
+                   if w.isalpha() and w not in wups.STOPWORDS)[:30]
+    ans = tmp_path / "answers.txt"
+    ans.write_text("\n".join(words))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "vqacl_tpu.cli.validate_wordnet",
+         str(tmp_path), "--answers", str(ans)],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "backend: wndb-files" in out.stdout or \
+        "backend: nltk-wordnet" in out.stdout
+    assert "coverage: 1.000" in out.stdout
