@@ -56,20 +56,29 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 _SEED_LINES: list = []  # verbatim per-seed JSON, inlined into the doc
 
 # args that change a cell's result — the cache key ties a stored cell to
-# the exact sweep config so a resumed run can't mix configs
+# the exact sweep config so a resumed run can't mix configs. Keys are
+# per-row: a der-α retune must not invalidate the vanilla/er/ours cells.
 CFG_FIELDS = ("tasks", "n_train", "n_eval", "epochs", "m_size",
-              "answer_vocab", "residue_centroids", "lambda_q", "lambda_v",
-              "ewc_lambda", "mas_lambda", "der_alpha", "fisher_batches")
+              "answer_vocab", "residue_centroids")
+ROW_CFG_FIELDS = {
+    "ours": ("lambda_q", "lambda_v"),
+    "ewc": ("ewc_lambda", "fisher_batches"),
+    "mas": ("mas_lambda", "fisher_batches"),
+    "der": ("der_alpha",),
+}
 
 
-def cfg_key(a) -> dict:
-    return {f: getattr(a, f) for f in CFG_FIELDS}
+def cfg_key(a, row: str) -> dict:
+    fields = CFG_FIELDS + ROW_CFG_FIELDS.get(row, ())
+    return {f: getattr(a, f) for f in fields}
 
 
 def load_cache(a) -> dict:
     """{(row, seed): result} for cells recorded under the same config.
     A ~100 s/cell sweep over 6 rows × 5 seeds takes hours on this host;
-    the cache makes an interrupted sweep resumable instead of restarting."""
+    the cache makes an interrupted sweep resumable instead of restarting.
+    Older cache records carry the full config dict; comparison uses only
+    the fields relevant to that record's row."""
     cells = {}
     if a.cache and os.path.exists(a.cache):
         with open(a.cache) as f:
@@ -78,7 +87,9 @@ def load_cache(a) -> dict:
                 if not line:
                     continue
                 rec = json.loads(line)
-                if rec.get("cfg") == cfg_key(a):
+                want = cfg_key(a, rec.get("row", ""))
+                got = rec.get("cfg", {})
+                if all(got.get(f) == v for f, v in want.items()):
                     cells[(rec["row"], rec["seed"])] = rec
     return cells
 
@@ -114,6 +125,10 @@ def run_row(name: str, memory: bool, prototype: bool, a, seed: int,
     cfg.train.memory = memory
     cfg.train.m_size = a.m_size
     cfg.train.lr = 1e-2
+    # reference-parity optimizer numerics for the quality surrogate (the
+    # production default is bf16 moment storage — a perf choice; quality
+    # rows should not depend on it)
+    cfg.train.adam_dtype = "float32"
     cfg.train.batch_size = 16
     cfg.train.valid_batch_size = 16
     cfg.train.epochs = a.epochs
@@ -178,7 +193,13 @@ def main() -> None:
                          "(reference param.py:179)")
     ap.add_argument("--ewc_lambda", type=float, default=100.0)
     ap.add_argument("--mas_lambda", type=float, default=1.0)
-    ap.add_argument("--der_alpha", type=float, default=0.5)
+    ap.add_argument("--der_alpha", type=float, default=50.0,
+                    help="DER distillation weight α. The DER paper's 0.5 "
+                         "is tuned for CIFAR CE-scale logits; here the "
+                         "MSE is a mean over a 32200-dim vocab, so the "
+                         "surrogate retunes it (1-seed sweep α∈{0.5,5,"
+                         "50,500} → 0.5:AP 37.8/F 77.4, 5:44.6/69.3, "
+                         "50:55.4/55.7, 500:46.2/67.3; α=50 best)")
     ap.add_argument("--fisher_batches", type=int, default=10)
     ap.add_argument("--rows", default=None,
                     help="comma list to run a subset (e.g. ewc,mas)")
@@ -232,7 +253,8 @@ def main() -> None:
                               memloss=sw.get("memloss", False))
                 res["wall_s"] = round(time.time() - t0, 1)
                 with open(a.cache, "a") as f:
-                    f.write(json.dumps({**res, "cfg": cfg_key(a)}) + "\n")
+                    f.write(json.dumps(
+                        {**res, "cfg": cfg_key(a, name)}) + "\n")
             print(json.dumps(res), flush=True)
             accs.append(res["Avg_acc"])
             fgts.append(res["Avg_forget"])
@@ -283,6 +305,17 @@ def write_doc(a, results) -> None:
     if {"er", "vanilla"} <= have:
         claim("Replay (ER) beats Vanilla on AP (gap > 1 combined σ)",
               mean_std("er")[0], mean_std("vanilla")[0])
+    # regularizer-row orderings from the paper's Table 1 (BASELINE.md):
+    # ER 36.99 ≫ EWC 15.77 ≈ Vanilla 14.49; DER 35.35 ≫ Vanilla 14.49
+    if {"er", "ewc"} <= have:
+        claim("Replay (ER) beats EWC on AP (paper: 36.99 vs 15.77)",
+              mean_std("er")[0], mean_std("ewc")[0])
+    if {"der", "vanilla"} <= have:
+        claim("DER beats Vanilla on AP (paper: 35.35 vs 14.49)",
+              mean_std("der")[0], mean_std("vanilla")[0])
+    if {"der", "vanilla"} <= have:
+        claim("DER beats Vanilla on Forget (paper: 8.62 vs 30.80)",
+              mean_std("vanilla")[1], mean_std("der")[1])
 
     n_cells = a.tasks * (a.tasks + 1) // 2
     lines = [
@@ -307,7 +340,9 @@ def write_doc(a, results) -> None:
         f"{a.epochs}, M={a.m_size}, {a.n_eval} test QA/task "
         f"({n_cells} matrix cells, quantization "
         f"{100.0 / a.n_eval:.2f}%), λ_EWC={a.ewc_lambda:g}, "
-        f"λ_MAS={a.mas_lambda:g}, α_DER={a.der_alpha:g}, "
+        f"λ_MAS={a.mas_lambda:g}, α_DER={a.der_alpha:g} (retuned on "
+        f"the surrogate — the DER paper's 0.5 targets CIFAR-scale "
+        f"logits; 1-seed sweep in scripts/ablation.py --help), "
         f"λ_Q={a.lambda_q:g}/λ_V={a.lambda_v:g} (ours row, SI memory "
         f"loss as in the reference), tiny model, "
         f"{a.repeats} seeds, task_shift=1, category_in_text=False, "
@@ -350,8 +385,8 @@ def write_doc(a, results) -> None:
     # 1-combined-σ criterion can detect at this seed count, vs the
     # paper's actual Table-1 margin mapped onto the surrogate's scale ----
     if {"ours", "er"} <= have:
-        (ap_ours, _), (fg_ours, _) = mean_std("ours")
-        (ap_er, _), (fg_er, _) = mean_std("er")
+        ap_ours, fg_ours = mean_std("ours")     # each = (mean, std)
+        ap_er, fg_er = mean_std("er")
         mdg_ap = ap_ours[1] + ap_er[1]
         mdg_fg = fg_ours[1] + fg_er[1]
         # paper Table 1 (BASELINE.md): Ours 38.77 AP vs ER 36.99 AP
@@ -385,6 +420,25 @@ def write_doc(a, results) -> None:
             "SEPARATED, the surrogate genuinely does not reproduce the "
             "margin (see the limits section below).",
         ]
+        # paired per-seed analysis: ours and er share each seed's data
+        # and task sequence, so the same-seed delta removes the (large)
+        # between-seed variance — the strongest honest test available
+        _, accs_o, fgts_o = results["ours"]
+        _, accs_e, fgts_e = results["er"]
+        n = min(len(accs_o), len(accs_e))
+        lines.append("")
+        for label, d in (("AP (ours − er)",
+                          [accs_o[i] - accs_e[i] for i in range(n)]),
+                         ("Forget (er − ours)",
+                          [fgts_e[i] - fgts_o[i] for i in range(n)])):
+            dm, dsd = _stats(d)
+            sem = dsd / math.sqrt(max(n - 1, 1))
+            sep = ("SEPARATES (paired)" if dm > 2 * sem else
+                   "REVERSED (paired)" if dm < -2 * sem else
+                   "not separated even paired")
+            lines.append(
+                f"- paired per-seed delta, {label}: "
+                f"{dm:+.2f} ± {sem:.2f} (SEM, n={n}) → {sep}")
     lines += [
         "",
         "Per-seed values (diag_acc = mean matrix diagonal, i.e. "

@@ -27,6 +27,17 @@ def reference_attention(q, k, v, pos_bias, mask):
     return o.astype(q.dtype).reshape(B, S, H * dk)
 
 
+@pytest.fixture(params=["serial", "batched"])
+def impl(request, monkeypatch):
+    """Run the reference-parity tests under BOTH kernel implementations
+    (per-head serial dots and head-batched dot_generals); 'batched' is
+    the measured-default on v5e, 'serial' stays as the probe baseline."""
+    from vqacl_tpu.ops import fused_attention as FA
+    monkeypatch.setattr(FA, "FWD_IMPL", request.param)
+    monkeypatch.setattr(FA, "BWD_IMPL", request.param)
+    return request.param
+
+
 @pytest.fixture
 def data(rng):
     B, S, H, dk = 3, 58, 4, 16
@@ -40,7 +51,7 @@ def data(rng):
     return map(jnp.asarray, (q, k, v, bias, mask))
 
 
-def test_forward_matches_reference(data):
+def test_forward_matches_reference(data, impl):
     q, k, v, bias, mask = data
     ours = fused_encoder_attention(q, k, v, bias, mask, interpret=True)
     ref = reference_attention(q, k, v, bias, mask)
@@ -48,7 +59,7 @@ def test_forward_matches_reference(data):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_gradients_match_reference(data):
+def test_gradients_match_reference(data, impl):
     q, k, v, bias, mask = data
 
     def loss_fused(q, k, v, bias):
@@ -94,7 +105,7 @@ def test_encode_fused_matches_unfused():
     np.testing.assert_array_equal(np.asarray(m_fused), np.asarray(m_ref))
 
 
-def test_text_block_bias_matches_zero_padded_full(rng):
+def test_text_block_bias_matches_zero_padded_full(rng, impl):
     """pos_bias [H,L,L] (text-text block, the production joint-encoder
     path) must equal a full [H,S,S] bias that is zero outside the block —
     forward AND gradients (incl. the block-only dbias)."""

@@ -378,7 +378,12 @@ def test_train_trajectory_matches_torch(setup):
     full.model = copy.deepcopy(cfg)
     full.model.dropout_rate = 0.0
     full.train = TrainConfig(lr=LR, weight_decay=WD, clip_grad_norm=5.0,
-                             adam_eps=1e-6, seed=1)
+                             adam_eps=1e-6, seed=1,
+                             # bit-exact torch-AdamW trajectory parity
+                             # needs f32 moments (the production default
+                             # is bf16 storage — test_optim covers the
+                             # drift bound)
+                             adam_dtype="float32")
     tx = make_transform(full.train)
     proto = PS.create(cfg.n_ques_types, cfg.n_categories, cfg.d_model)
     state = TrainState.create(

@@ -51,8 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_ratio", type=float, default=0.1)
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--adam_eps", type=float, default=1e-6)
-    p.add_argument("--adam_dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+    p.add_argument("--adam_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage (arithmetic is always f32); "
+                        "float32 gives bit-exact reference-AdamW parity, "
+                        "bfloat16 (default) halves optimizer HBM traffic")
     p.add_argument("--fused_attention", default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas fused encoder attention (auto: on for "

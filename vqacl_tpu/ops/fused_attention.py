@@ -377,9 +377,11 @@ def _call_fwd(q, k, v, bias, mask, seed, interpret, dropout_rate, H, L,
 # kernel implementations: "serial" (per-head dot loop) or "batched"
 # (head-batched dot_generals — one pipelined MXU op sequence per call).
 # Module-level so scripts/attn_kernel_probe.py can A/B them; defaults are
-# the measured winners on v5e at the bench geometry.
-FWD_IMPL = "serial"
-BWD_IMPL = "serial"
+# the measured winners on v5e at the bench geometry (r5 paired probe,
+# n=24 interleaved samples: batched/batched −1.5 ms/step vs
+# serial/serial at >10× the paired SEM — BENCH_NOTES.md).
+FWD_IMPL = "batched"
+BWD_IMPL = "batched"
 
 
 def _call_bwd(q, k, v, p, seed, do, interpret, dropout_rate, H, L, Lp):

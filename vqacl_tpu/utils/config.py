@@ -110,8 +110,11 @@ class TrainConfig:
     warmup_ratio: float = 0.1
     weight_decay: float = 0.01
     adam_eps: float = 1e-6
-    adam_dtype: str = "float32"      # Adam moment storage; "bfloat16" halves
-                                     # optimizer HBM state+traffic (optim.py)
+    adam_dtype: str = "bfloat16"     # Adam moment storage; bf16 halves
+                                     # optimizer HBM state+traffic, −2.6
+                                     # ms/step at bench geometry (arithmetic
+                                     # stays f32 — optim.py); "float32" =
+                                     # bit-exact reference-AdamW parity
     adam_impl: str = "hf"            # "hf" = reference's transformers AdamW
                                      # direction (ε inside, correction in
                                      # step size); "torch" = optax/torch
