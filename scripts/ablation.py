@@ -179,7 +179,15 @@ def main() -> None:
     ap.add_argument("--n_eval", type=int, default=500,
                     help="test QA per task (quantization = 100/n_eval %%)")
     ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--m_size", type=int, default=500)
+    ap.add_argument("--m_size", type=int, default=100,
+                    help="exemplar buffer size. Default 100 = 10%% of "
+                         "n_train per task — the reference-like regime "
+                         "(its M=5000 covers ~4%% of a real task's "
+                         "~130k QA). At 500 (50%% coverage) replay "
+                         "saturates the surrogate and Ours↔ER cannot "
+                         "separate regardless of the mechanism — see "
+                         "the buffer-regime sensitivity section the "
+                         "--sensitivity flag renders")
     ap.add_argument("--answer_vocab", type=int, default=4)
     ap.add_argument("--residue_centroids", type=int, default=1,
                     help="cluster category centroids by answer residue "
@@ -211,6 +219,13 @@ def main() -> None:
                          "jax.config — the JAX_PLATFORMS env var is "
                          "ignored by some TPU plugins); 'default' keeps "
                          "whatever backend JAX picks")
+    ap.add_argument("--sensitivity", default=os.path.join(
+                        os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))),
+                        "docs", "ablation_m500_cells.jsonl"),
+                    help="cells.jsonl of a sweep at another buffer size; "
+                         "rendered as a computed buffer-regime "
+                         "sensitivity section (skipped if missing)")
     ap.add_argument("--out", default="/tmp/ablation")
     ap.add_argument("--cache", default=None,
                     help="JSONL of completed cells (default "
@@ -267,6 +282,74 @@ def main() -> None:
                   flush=True)
     if a.rows:
         print("(subset run — ABLATION.md not rewritten)")
+
+
+def _sensitivity_lines(a) -> list:
+    """Buffer-regime sensitivity: render another sweep's cells.jsonl
+    (e.g. the M=500 saturated-replay regime) as a second COMPUTED table
+    — same claim criterion, no hand-quoted numbers, so this section
+    cannot drift from its data any more than the headline can."""
+    if not a.sensitivity or not os.path.exists(a.sensitivity):
+        return []
+    by_row, m_sizes = {}, set()
+    with open(a.sensitivity) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            by_row.setdefault(rec["row"], []).append(rec)
+            m_sizes.add(rec.get("cfg", {}).get("m_size"))
+    if not by_row:
+        return []
+    m_desc = "/".join(str(m) for m in sorted(x for x in m_sizes
+                                             if x is not None))
+    out = [
+        "",
+        f"## Buffer-regime sensitivity (same sweep at M={m_desc})",
+        "",
+        f"Rendered from `{os.path.relpath(a.sensitivity)}` "
+        "(per-seed cells of a prior sweep; all statistics below are "
+        "computed from that file at generation time). At "
+        f"M={m_desc} the buffer covers "
+        f"{'/'.join(f'{100 * m / a.n_train:.0f}%' for m in sorted(x for x in m_sizes if x))} "
+        "of each task's train data — replay alone nearly solves the "
+        "surrogate, so the prototype margin has no room to show "
+        "(ceiling regime). The headline config above uses "
+        f"M={a.m_size} ({100 * a.m_size / a.n_train:.0f}% coverage), "
+        "closer to the reference's ~4% (M=5000 over ~130k QA/task).",
+        "",
+        "| row | seeds | AP (Avg_acc) ↑ | Forget ↓ |",
+        "|---|---|---|---|",
+    ]
+    for name, _ in ROWS:
+        recs = sorted(by_row.get(name, []), key=lambda r: r["seed"])
+        if not recs:
+            continue
+        am, asd = _stats([r["Avg_acc"] for r in recs])
+        fm, fsd = _stats([r["Avg_forget"] for r in recs])
+        out.append(f"| {name} | {len(recs)} | {am:.2f} ± {asd:.2f} | "
+                   f"{fm:.2f} ± {fsd:.2f} |")
+    if {"ours", "er"} <= set(by_row):
+        o = sorted(by_row["ours"], key=lambda r: r["seed"])
+        e = sorted(by_row["er"], key=lambda r: r["seed"])
+        es = {r["seed"]: r for r in e}
+        pairs = [(r, es[r["seed"]]) for r in o if r["seed"] in es]
+        out.append("")
+        for label, d in (
+                ("AP (ours − er)",
+                 [ro["Avg_acc"] - re["Avg_acc"] for ro, re in pairs]),
+                ("Forget (er − ours)",
+                 [re["Avg_forget"] - ro["Avg_forget"]
+                  for ro, re in pairs])):
+            dm, dsd = _stats(d)
+            sem = dsd / math.sqrt(max(len(d) - 1, 1))
+            sep = ("SEPARATES (paired)" if dm > 2 * sem else
+                   "REVERSED (paired)" if dm < -2 * sem else
+                   "not separated even paired")
+            out.append(f"- paired per-seed delta, {label}: "
+                       f"{dm:+.2f} ± {sem:.2f} (SEM, n={len(d)}) → {sep}")
+    return out
 
 
 def write_doc(a, results) -> None:
@@ -418,7 +501,14 @@ def write_doc(a, results) -> None:
             "this seed count, not evidence against the mechanism. If "
             "the margin clears the floor and the verdict is still NOT "
             "SEPARATED, the surrogate genuinely does not reproduce the "
-            "margin (see the limits section below).",
+            "margin (see the limits section below). A PASS verdict "
+            "while the paper-scale margin sits under the floor means "
+            "the surrogate's measured effect is LARGER than the "
+            "paper's relative margin — expected when the buffer is "
+            "small enough that replay alone cannot span the visual "
+            "categories, so prototype retrieval carries more of the "
+            "answer signal than it does on real VQA v2 (qualitative "
+            "ordering evidence, not a quantitative margin match).",
         ]
         # paired per-seed analysis: ours and er share each seed's data
         # and task sequence, so the same-seed delta removes the (large)
@@ -439,6 +529,7 @@ def write_doc(a, results) -> None:
             lines.append(
                 f"- paired per-seed delta, {label}: "
                 f"{dm:+.2f} ± {sem:.2f} (SEM, n={n}) → {sep}")
+    lines += _sensitivity_lines(a)
     lines += [
         "",
         "Per-seed values (diag_acc = mean matrix diagonal, i.e. "
