@@ -529,15 +529,17 @@ def write_doc(a, results) -> None:
             lines.append(
                 f"- paired per-seed delta, {label}: "
                 f"{dm:+.2f} ± {sem:.2f} (SEM, n={n}) → {sep}")
-    lines += _sensitivity_lines(a)
     lines += [
         "",
-        "Per-seed values (diag_acc = mean matrix diagonal, i.e. "
-        "accuracy right after training each task):",
+        "Per-seed values of the headline table above (diag_acc = mean "
+        "matrix diagonal, i.e. accuracy right after training each task):",
         "",
         "```",
         *_SEED_LINES,
         "```",
+    ]
+    lines += _sensitivity_lines(a)
+    lines += [
         "",
         "## What this surrogate can and cannot show",
         "",
