@@ -192,3 +192,38 @@ def test_cli_end_to_end(vqa_root, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out, "metrics.json"))
     # eval-only (reference VQACL.sh without --now_train)
     vqacl_train.main([a for a in args if a != "--now_train"])
+
+
+def test_nextqa_cli_end_to_end(nextqa_root, tmp_path, monkeypatch):
+    """nextqa_train CLI main() over the synthesized reference-format
+    artifacts (CSV partitions + app_mot h5 + add-reference json,
+    nextqa/train.sh semantics): geometry overrides (23-token text /
+    16 clips / 6-token answers / 8 question types), linear schedule,
+    λ_Q=λ_V=0, and the comp gate disabled at the shipped G-1."""
+    from vqacl_tpu.cl.comp_trainer import comp_enabled
+    from vqacl_tpu.cli import nextqa_train
+    from vqacl_tpu.nextqa.data import NEXTQA_SPLITS, NextQADataModule
+
+    # the gate nextqa_train.main dispatches on (nextqa_CL.py:421-423)
+    assert not comp_enabled("G-1", NEXTQA_SPLITS)
+    assert comp_enabled("G2", NEXTQA_SPLITS)
+
+    # CLI builds all 8 tasks by default; restrict to the synthesized two
+    orig = NextQADataModule.from_root.__func__
+    monkeypatch.setattr(
+        NextQADataModule, "from_root",
+        classmethod(lambda cls, root, tok, tasks=None, **kw:
+                    orig(cls, root, tok, tasks=["CW", "TN"], **kw)))
+
+    out = str(tmp_path / "nextqa_snap")
+    args = ["--dataset_root", nextqa_root, "--output", out, "--tiny_model",
+            "--batch_size", "8", "--valid_batch_size", "8",
+            "--epochs", "1", "--m_size", "10", "--memory",
+            "--from_scratch", "--lr", "1e-2", "--dtype", "float32",
+            "--proto_alpha", "0.3", "--proto_beta", "0.5",
+            "--now_train"]
+    nextqa_train.main(args)
+    assert os.path.exists(os.path.join(out, "TN_LAST.npz"))
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+    # eval-only (train.sh without --now_train)
+    nextqa_train.main([a for a in args if a != "--now_train"])
