@@ -27,7 +27,9 @@ differing only in the framework's own switches:
   mas      〃 + --cl_reg mas                     (Table 1 "MAS")
   er       memory=True   use_prototype=False    (Table 1 "ER")
   der      〃 + --cl_reg der                     (Table 1 "DER")
-  ours     memory=True   use_prototype=True     (Table 1 "Ours")
+  ours     memory=True   use_prototype=True     (Table 1 "Ours";
+           + the SI memory loss, always on in the reference when
+           replay and prototypes are both active — see ROWS)
 
 Statistics: every row runs ``--repeats`` seeds (default 5); the table
 reports mean ± population std, and the "Claims checked" section is
@@ -37,7 +39,7 @@ ordering the data doesn't show. Writes ABLATION.md at the repo root
 plus one JSON line per (row, seed).
 
 Usage: python scripts/ablation.py [--tasks 5] [--n_train 1000]
-           [--n_eval 500] [--epochs 3] [--m_size 500] [--seed 0]
+           [--n_eval 500] [--epochs 3] [--m_size 100] [--seed 0]
            [--repeats 5]
 """
 from __future__ import annotations
@@ -82,15 +84,22 @@ def load_cache(a) -> dict:
     cells = {}
     if a.cache and os.path.exists(a.cache):
         with open(a.cache) as f:
-            for line in f:
+            for ln, line in enumerate(f, 1):
                 line = line.strip()
                 if not line:
                     continue
-                rec = json.loads(line)
-                want = cfg_key(a, rec.get("row", ""))
-                got = rec.get("cfg", {})
-                if all(got.get(f) == v for f, v in want.items()):
-                    cells[(rec["row"], rec["seed"])] = rec
+                try:
+                    rec = json.loads(line)
+                    want = cfg_key(a, rec.get("row", ""))
+                    got = rec.get("cfg", {})
+                    if all(got.get(f) == v for f, v in want.items()):
+                        cells[(rec["row"], rec["seed"])] = rec
+                except (json.JSONDecodeError, KeyError, TypeError) as e:
+                    # a sweep killed mid-append leaves a truncated last
+                    # line; resume must survive it, not crash
+                    print(f"WARNING: skipping malformed cache line "
+                          f"{a.cache}:{ln} ({type(e).__name__})",
+                          file=sys.stderr)
     return cells
 
 ROWS = [
@@ -170,6 +179,24 @@ def _stats(xs):
     m = sum(xs) / len(xs)
     var = sum((x - m) ** 2 for x in xs) / len(xs)
     return m, math.sqrt(var)
+
+
+def _paired_line(label: str, d) -> str:
+    """One paired-delta bullet with its separation verdict. The SEM of
+    a single pair is degenerate (population std of one delta is 0, so
+    any nonzero mean would 'separate'); below 2 pairs no verdict is
+    claimed."""
+    dm, dsd = _stats(d)
+    n = len(d)
+    if n < 2:
+        return (f"- paired per-seed delta, {label}: {dm:+.2f} "
+                f"(n={n} — too few pairs for a verdict)")
+    sem = dsd / math.sqrt(n - 1)
+    sep = ("SEPARATES (paired)" if dm > 2 * sem else
+           "REVERSED (paired)" if dm < -2 * sem else
+           "not separated even paired")
+    return (f"- paired per-seed delta, {label}: "
+            f"{dm:+.2f} ± {sem:.2f} (SEM, n={n}) → {sep}")
 
 
 def main() -> None:
@@ -291,7 +318,7 @@ def _sensitivity_lines(a) -> list:
     cannot drift from its data any more than the headline can."""
     if not a.sensitivity or not os.path.exists(a.sensitivity):
         return []
-    by_row, m_sizes = {}, set()
+    by_row, m_sizes, n_trains = {}, set(), set()
     with open(a.sensitivity) as f:
         for line in f:
             line = line.strip()
@@ -300,10 +327,15 @@ def _sensitivity_lines(a) -> list:
             rec = json.loads(line)
             by_row.setdefault(rec["row"], []).append(rec)
             m_sizes.add(rec.get("cfg", {}).get("m_size"))
+            n_trains.add(rec.get("cfg", {}).get("n_train"))
     if not by_row:
         return []
     m_desc = "/".join(str(m) for m in sorted(x for x in m_sizes
                                              if x is not None))
+    # coverage must use the sweep file's OWN n_train (its cfg records
+    # carry it), not this run's — the two sweeps can differ
+    nts = sorted(x for x in n_trains if x)
+    nt = nts[0] if len(nts) == 1 else a.n_train
     out = [
         "",
         f"## Buffer-regime sensitivity (same sweep at M={m_desc})",
@@ -312,7 +344,7 @@ def _sensitivity_lines(a) -> list:
         "(per-seed cells of a prior sweep; all statistics below are "
         "computed from that file at generation time). At "
         f"M={m_desc} the buffer covers "
-        f"{'/'.join(f'{100 * m / a.n_train:.0f}%' for m in sorted(x for x in m_sizes if x))} "
+        f"{'/'.join(f'{100 * m / nt:.0f}%' for m in sorted(x for x in m_sizes if x))} "
         "of each task's train data — replay alone nearly solves the "
         "surrogate, so the prototype margin has no room to show "
         "(ceiling regime). The headline config above uses "
@@ -336,19 +368,12 @@ def _sensitivity_lines(a) -> list:
         es = {r["seed"]: r for r in e}
         pairs = [(r, es[r["seed"]]) for r in o if r["seed"] in es]
         out.append("")
-        for label, d in (
-                ("AP (ours − er)",
-                 [ro["Avg_acc"] - re["Avg_acc"] for ro, re in pairs]),
-                ("Forget (er − ours)",
-                 [re["Avg_forget"] - ro["Avg_forget"]
-                  for ro, re in pairs])):
-            dm, dsd = _stats(d)
-            sem = dsd / math.sqrt(max(len(d) - 1, 1))
-            sep = ("SEPARATES (paired)" if dm > 2 * sem else
-                   "REVERSED (paired)" if dm < -2 * sem else
-                   "not separated even paired")
-            out.append(f"- paired per-seed delta, {label}: "
-                       f"{dm:+.2f} ± {sem:.2f} (SEM, n={len(d)}) → {sep}")
+        out.append(_paired_line(
+            "AP (ours − er)",
+            [ro["Avg_acc"] - re["Avg_acc"] for ro, re in pairs]))
+        out.append(_paired_line(
+            "Forget (er − ours)",
+            [re["Avg_forget"] - ro["Avg_forget"] for ro, re in pairs]))
     return out
 
 
@@ -396,7 +421,6 @@ def write_doc(a, results) -> None:
     if {"der", "vanilla"} <= have:
         claim("DER beats Vanilla on AP (paper: 35.35 vs 14.49)",
               mean_std("der")[0], mean_std("vanilla")[0])
-    if {"der", "vanilla"} <= have:
         claim("DER beats Vanilla on Forget (paper: 8.62 vs 30.80)",
               mean_std("vanilla")[1], mean_std("der")[1])
 
@@ -517,18 +541,11 @@ def write_doc(a, results) -> None:
         _, accs_e, fgts_e = results["er"]
         n = min(len(accs_o), len(accs_e))
         lines.append("")
-        for label, d in (("AP (ours − er)",
-                          [accs_o[i] - accs_e[i] for i in range(n)]),
-                         ("Forget (er − ours)",
-                          [fgts_e[i] - fgts_o[i] for i in range(n)])):
-            dm, dsd = _stats(d)
-            sem = dsd / math.sqrt(max(n - 1, 1))
-            sep = ("SEPARATES (paired)" if dm > 2 * sem else
-                   "REVERSED (paired)" if dm < -2 * sem else
-                   "not separated even paired")
-            lines.append(
-                f"- paired per-seed delta, {label}: "
-                f"{dm:+.2f} ± {sem:.2f} (SEM, n={n}) → {sep}")
+        lines.append(_paired_line(
+            "AP (ours − er)", [accs_o[i] - accs_e[i] for i in range(n)]))
+        lines.append(_paired_line(
+            "Forget (er − ours)",
+            [fgts_e[i] - fgts_o[i] for i in range(n)]))
     lines += [
         "",
         "Per-seed values of the headline table above (diag_acc = mean "

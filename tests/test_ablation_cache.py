@@ -76,3 +76,22 @@ def test_legacy_full_config_records_still_load(tmp_path):
 
 def test_missing_cache_file_is_empty():
     assert load_cache(make_args("/nonexistent/cells.jsonl")) == {}
+
+
+def test_malformed_cache_lines_skipped(tmp_path, capsys):
+    """A sweep killed mid-append leaves a truncated final line (and old
+    tools can leave records without a seed); resume must skip them with
+    a warning, not crash — that is the exact scenario the cache exists
+    for."""
+    cache = str(tmp_path / "cells.jsonl")
+    args = make_args(cache)
+    write_cells(cache, args, [("vanilla", 0)])
+    with open(cache, "a") as f:
+        f.write('{"row": "er", "seed": 1, "Avg')          # truncated
+        f.write("\n")
+        f.write(json.dumps({"row": "vanilla",             # no "seed"
+                            "cfg": cfg_key(args, "vanilla")}) + "\n")
+    cells = load_cache(args)
+    assert ("vanilla", 0) in cells and len(cells) == 1
+    err = capsys.readouterr().err
+    assert err.count("skipping malformed cache line") == 2

@@ -66,8 +66,13 @@ def test_paired_delta_uses_matching_seeds_only(tmp_path):
                   _cell("ours", 1, 95.0, 5.0), _cell("ours", 7, 10.0, 90.0)])
     a = SimpleNamespace(sensitivity=path, n_train=1000, m_size=100)
     text = "\n".join(_sensitivity_lines(a))
-    # only seed 1 pairs up; the unmatched seeds must not contaminate
-    assert "(SEM, n=1)" in text
+    # only seed 1 pairs up; the unmatched seeds must not contaminate —
+    # and one pair has a degenerate SEM (population std of a single
+    # delta is 0), so NO separation verdict may be claimed from it
+    assert "(n=1 — too few pairs for a verdict)" in text
+    assert "SEPARATES" not in text and "REVERSED" not in text
+    # the matched pair's delta is still reported (ours 95 − er 90)
+    assert "AP (ours − er): +5.00" in text
 
 
 def test_repo_m500_cells_render_the_committed_tie():
@@ -79,3 +84,18 @@ def test_repo_m500_cells_render_the_committed_tie():
     # must keep saying so (this is the anti-claim-drift guarantee)
     assert text.count("not separated even paired") == 2
     assert "| ours | 5 | 92.73 ± 7.38 | 8.45 ± 8.69 |" in text
+
+
+def test_coverage_uses_the_files_own_n_train(tmp_path):
+    """The sensitivity sweep can have run at a different --n_train than
+    the headline run; its buffer-coverage percentages must come from
+    the FILE's cfg records, not the current invocation."""
+    path = str(tmp_path / "cells.jsonl")
+    cells = [_cell("er", s, 80.0, 20.0) for s in (0, 1)]
+    for c in cells:
+        c["cfg"]["n_train"] = 600
+    _write(path, cells)
+    a = SimpleNamespace(sensitivity=path, n_train=1000, m_size=100)
+    text = "\n".join(_sensitivity_lines(a))
+    assert "covers 83%" in text          # 500/600, not 500/1000 = 50%
+    assert "M=100 (10% coverage)" in text   # headline still uses a.*

@@ -13,6 +13,7 @@ import os
 import random
 
 import pytest
+from types import SimpleNamespace
 
 from vqacl_tpu.evaluation import taxonomy
 from vqacl_tpu.evaluation.wordnet_db import WordNetDB, find_db_dir, get_db
@@ -201,3 +202,18 @@ def test_validate_wordnet_cli(tmp_path):
     assert "backend: wndb-files" in out.stdout or \
         "backend: nltk-wordnet" in out.stdout
     assert "coverage: 1.000" in out.stdout
+
+
+def test_validate_wordnet_cli_empty_csv_errors(tmp_path):
+    """`--csv $(ls missing*.csv)` expanding to nothing must error, not
+    silently validate the built-in probe set and report success."""
+    from vqacl_tpu.cli import validate_wordnet
+
+    with pytest.raises(SystemExit) as e:
+        validate_wordnet.load_vocab(
+            SimpleNamespace(answers=None, csv=[]))
+    assert "--csv" in str(e.value)
+    # an omitted --csv (None) still selects the built-in probe set
+    vocab = validate_wordnet.load_vocab(
+        SimpleNamespace(answers=None, csv=None))
+    assert len(vocab) > 50

@@ -51,7 +51,11 @@ def load_vocab(args) -> list[str]:
     if args.answers:
         with open(args.answers) as f:
             words = [w for line in f for w in line.strip().lower().split()]
-    elif args.csv:
+    elif args.csv is not None:
+        if not args.csv:
+            # e.g. --csv $(ls missing*.csv) with no matches: silently
+            # validating the built-in probe would report bogus success
+            raise SystemExit("--csv given but no files listed")
         for path in args.csv:
             with open(path, newline="") as f:
                 for row in csv.DictReader(f):
